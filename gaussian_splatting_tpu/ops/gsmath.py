@@ -1,0 +1,152 @@
+"""Core Gaussian-splatting math: quaternions, covariances, spherical harmonics.
+
+Pure jnp, elementwise formulations (VPU-friendly, no tiny matmuls that would
+hit the MXU at bf16 precision). Batch dimension is always leading.
+
+Behavioral parity notes (cited against /root/reference):
+- quaternion layout is (w, x, y, z), normalized before use
+  (utils/general_utils.py:105-129).
+- cov3D = M @ M^T with M = R @ diag(s)
+  (cuda_rasterizer/forward.cu:146-180; glm column-major `S * R` equals
+  row-major R @ S, and `transpose(M) * M` there equals M M^T here).
+- SH constants and real-SH basis of degree 0..3
+  (cuda_rasterizer/auxiliary.h:22-39, forward.cu:21-81). Colors are
+  offset by +0.5 then clamped at 0 (forward.cu:73-80); jnp.maximum gives
+  the same zero-gradient-when-clamped behavior the reference tracks with
+  its `clamped` buffer.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+# Real spherical harmonics constants (auxiliary.h:22-39).
+SH_C0 = 0.28209479177387814
+SH_C1 = 0.4886025119029199
+SH_C2 = (
+    1.0925484305920792,
+    -1.0925484305920792,
+    0.31539156525252005,
+    -1.0925484305920792,
+    0.5462742152960396,
+)
+SH_C3 = (
+    -0.5900435899266435,
+    2.890611442640554,
+    -0.4570457994644658,
+    0.3731763325901154,
+    -0.4570457994644658,
+    1.445305721320277,
+    -0.5900435899266435,
+)
+
+
+def normalize_quat(q):
+    """Normalize quaternions, (..., 4) in (w, x, y, z) layout."""
+    return q / jnp.linalg.norm(q, axis=-1, keepdims=True)
+
+
+def quat_to_rotmat(q):
+    """Unit quaternion (..., 4) (w,x,y,z) -> rotation matrix (..., 3, 3)."""
+    r, x, y, z = q[..., 0], q[..., 1], q[..., 2], q[..., 3]
+    row0 = jnp.stack(
+        [1 - 2 * (y * y + z * z), 2 * (x * y - r * z), 2 * (x * z + r * y)], axis=-1
+    )
+    row1 = jnp.stack(
+        [2 * (x * y + r * z), 1 - 2 * (x * x + z * z), 2 * (y * z - r * x)], axis=-1
+    )
+    row2 = jnp.stack(
+        [2 * (x * z - r * y), 2 * (y * z + r * x), 1 - 2 * (x * x + y * y)], axis=-1
+    )
+    return jnp.stack([row0, row1, row2], axis=-2)
+
+
+def build_cov3d(scales, quats, scale_modifier=1.0):
+    """3D covariance (upper-triangular packed) from scales and quaternions.
+
+    scales: (..., 3) activated (positive) scales; quats: (..., 4) raw
+    (normalized internally, matching the rasterizer which receives
+    pre-normalized rotations but normalizes defensively).
+
+    Returns (..., 6): [xx, xy, xz, yy, yz, zz] of Sigma = M M^T,
+    M = R @ diag(scale_modifier * s).
+    """
+    R = quat_to_rotmat(normalize_quat(quats))
+    s = scale_modifier * scales
+    M = R * s[..., None, :]  # R @ diag(s): scale the columns
+    sigma = jnp.einsum("...ik,...jk->...ij", M, M)
+    return jnp.stack(
+        [
+            sigma[..., 0, 0],
+            sigma[..., 0, 1],
+            sigma[..., 0, 2],
+            sigma[..., 1, 1],
+            sigma[..., 1, 2],
+            sigma[..., 2, 2],
+        ],
+        axis=-1,
+    )
+
+
+def eval_sh(deg: int, sh, dirs):
+    """Evaluate real SH basis, degree 0..3.
+
+    sh: (..., K, 3) coefficients with K >= (deg+1)^2 (DC first);
+    dirs: (..., 3) unit view directions. Returns (..., 3) raw color
+    (before the +0.5 offset / clamp). Matches forward.cu:21-73 and
+    utils/sh_utils.py:57-112 ordering.
+    """
+    result = SH_C0 * sh[..., 0, :]
+    if deg > 0:
+        x = dirs[..., 0:1]
+        y = dirs[..., 1:2]
+        z = dirs[..., 2:3]
+        result = (
+            result - SH_C1 * y * sh[..., 1, :] + SH_C1 * z * sh[..., 2, :] - SH_C1 * x * sh[..., 3, :]
+        )
+        if deg > 1:
+            xx, yy, zz = x * x, y * y, z * z
+            xy, yz, xz = x * y, y * z, x * z
+            result = (
+                result
+                + SH_C2[0] * xy * sh[..., 4, :]
+                + SH_C2[1] * yz * sh[..., 5, :]
+                + SH_C2[2] * (2.0 * zz - xx - yy) * sh[..., 6, :]
+                + SH_C2[3] * xz * sh[..., 7, :]
+                + SH_C2[4] * (xx - yy) * sh[..., 8, :]
+            )
+            if deg > 2:
+                result = (
+                    result
+                    + SH_C3[0] * y * (3.0 * xx - yy) * sh[..., 9, :]
+                    + SH_C3[1] * xy * z * sh[..., 10, :]
+                    + SH_C3[2] * y * (4.0 * zz - xx - yy) * sh[..., 11, :]
+                    + SH_C3[3] * z * (2.0 * zz - 3.0 * xx - 3.0 * yy) * sh[..., 12, :]
+                    + SH_C3[4] * x * (4.0 * zz - xx - yy) * sh[..., 13, :]
+                    + SH_C3[5] * z * (xx - yy) * sh[..., 14, :]
+                    + SH_C3[6] * x * (xx - 3.0 * yy) * sh[..., 15, :]
+                )
+    return result
+
+
+def sh_to_rgb(deg: int, sh, means3d, campos):
+    """SH -> clamped RGB as the rasterizer does (forward.cu:21-81).
+
+    means3d: (..., 3) world positions, campos: (3,) camera center.
+    """
+    d = means3d - campos
+    dirs = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+    return jnp.maximum(eval_sh(deg, sh, dirs) + 0.5, 0.0)
+
+
+def rgb_to_sh(rgb):
+    """Inverse of the DC-only SH mapping (utils/sh_utils.py:114-118)."""
+    return (rgb - 0.5) / SH_C0
+
+
+def sh_to_rgb_dc(sh_dc):
+    return sh_dc * SH_C0 + 0.5
+
+
+def inverse_sigmoid(x):
+    return jnp.log(x / (1.0 - x))

@@ -1,0 +1,15 @@
+import os
+
+# Force CPU with 8 virtual devices BEFORE jax initializes: multi-chip
+# sharding tests run on a fake mesh (the TPU answer to "multi-node tests
+# without a cluster"). NOTE: the axon TPU plugin ignores JAX_PLATFORMS,
+# so we use JAX_PLATFORM_NAME + an explicit config update as well.
+os.environ["JAX_PLATFORM_NAME"] = "cpu"
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ["XLA_FLAGS"] = (
+    os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
+)
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")

@@ -1,0 +1,150 @@
+"""Rasterizer correctness: backend agreement (forward AND gradients),
+binning invariants, background compositing, overflow accounting."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gaussian_splatting_tpu.ops import binning
+from gaussian_splatting_tpu.ops.projection import preprocess
+from gaussian_splatting_tpu.ops.rasterize import RasterizerConfig, rasterize
+
+from helpers import make_camera, make_gaussians
+
+W, H = 64, 48
+
+
+@pytest.fixture(scope="module")
+def scene():
+    means, scales, quats, opacities, shs = make_gaussians(P=160, seed=0)
+    cam = make_camera(W, H)
+    return tuple(map(jnp.asarray, (means, scales, quats, opacities, shs))), cam
+
+
+def _render(scene, backend, bg=0.0, **kw):
+    (means, scales, quats, opacities, shs), cam = scene
+    cfg = RasterizerConfig(backend=backend, capacity_mult=16, chunk=128)
+    return rasterize(
+        means, scales, quats, opacities, shs, 3, cam.arrays(), W, H,
+        jnp.full((3,), bg, jnp.float32), cfg, **kw
+    )
+
+
+def test_backends_match_forward(scene):
+    img_x, aux_x = _render(scene, "xla")
+    img_r, aux_r = _render(scene, "reference")
+    np.testing.assert_allclose(np.asarray(img_x), np.asarray(img_r), atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(aux_x["radii"]), np.asarray(aux_r["radii"]))
+    assert int(aux_x["visible"].sum()) > 50  # sanity: most are visible
+
+
+def test_backends_match_gradients(scene):
+    (means, scales, quats, opacities, shs), cam = scene
+    target = jnp.zeros((H, W, 3))
+
+    def loss_fn(backend):
+        cfg = RasterizerConfig(backend=backend, capacity_mult=16, chunk=128)
+
+        def f(m, s, q, o, sh):
+            img, _ = rasterize(
+                m, s, q, o, sh, 3, cam.arrays(), W, H, jnp.zeros(3), cfg
+            )
+            return jnp.mean((img - target) ** 2)
+
+        return jax.grad(f, argnums=(0, 1, 2, 3, 4))(means, scales, quats, opacities, shs)
+
+    gx = loss_fn("xla")
+    gr = loss_fn("reference")
+    for a, b, name in zip(gx, gr, ["means", "scales", "quats", "op", "shs"]):
+        a, b = np.asarray(a), np.asarray(b)
+        assert np.isfinite(a).all(), name
+        scale = max(np.abs(b).max(), 1e-8)
+        np.testing.assert_allclose(a, b, atol=3e-5 * scale, rtol=2e-3, err_msg=name)
+    # gradients are not trivially zero
+    assert np.abs(np.asarray(gx[0])).max() > 0
+
+
+def test_background_compositing(scene):
+    # With zero opacity everywhere the image must equal the background.
+    (means, scales, quats, opacities, shs), cam = scene
+    cfg = RasterizerConfig(backend="xla", capacity_mult=16, chunk=128)
+    img, aux = rasterize(
+        means, scales, quats, jnp.zeros_like(opacities), shs, 3,
+        cam.arrays(), W, H, jnp.array([0.2, 0.4, 0.6]), cfg,
+    )
+    np.testing.assert_allclose(np.asarray(img[..., 0]), 0.2, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(img[..., 2]), 0.6, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(aux["final_t"]), 1.0, atol=1e-6)
+
+
+def test_alive_mask(scene):
+    # Killing all but the first 10 slots must equal rendering only those 10.
+    (means, scales, quats, opacities, shs), cam = scene
+    cfg = RasterizerConfig(backend="xla", capacity_mult=16, chunk=128)
+    alive = jnp.arange(means.shape[0]) < 10
+    img_masked, _ = rasterize(
+        means, scales, quats, opacities, shs, 3, cam.arrays(), W, H,
+        jnp.zeros(3), cfg, alive=alive,
+    )
+    img_small, _ = rasterize(
+        means[:10], scales[:10], quats[:10], opacities[:10], shs[:10], 3,
+        cam.arrays(), W, H, jnp.zeros(3), cfg,
+    )
+    np.testing.assert_allclose(np.asarray(img_masked), np.asarray(img_small), atol=1e-5)
+
+
+def test_binning_invariants(scene):
+    (means, scales, quats, opacities, shs), cam = scene
+    prep = preprocess(
+        means, scales, quats, opacities, shs, 3, cam.arrays(), W, H, 16, 16
+    )
+    gx, gy = (W + 15) // 16, (H + 15) // 16
+    lists = binning.build_tile_lists(
+        prep.rect_min, prep.rect_max, prep.depths, prep.tiles_touched, gx, gy, 4096
+    )
+    total = int(lists.total)
+    assert total == int(prep.tiles_touched.sum())
+    assert total <= 4096
+    s_tile = np.asarray(lists.entry_tile)
+    valid = np.asarray(lists.entry_valid)
+    assert (np.diff(s_tile) >= 0).all()  # sorted by tile
+    # within each tile range, depths are non-decreasing
+    depths = np.asarray(prep.depths)[np.asarray(lists.gauss_id)]
+    start, stop = np.asarray(lists.tile_start), np.asarray(lists.tile_stop)
+    for t in range(gx * gy):
+        d = depths[start[t] : stop[t]]
+        assert (np.diff(d) >= 0).all()
+        assert (s_tile[start[t] : stop[t]] == t).all()
+    assert valid.sum() == total
+
+
+def test_overflow_accounting(scene):
+    # Tiny capacity: total must still report the true entry count.
+    (means, scales, quats, opacities, shs), cam = scene
+    cfg = RasterizerConfig(backend="xla", capacity_mult=1, chunk=128)
+    _, aux = rasterize(
+        means, scales, quats, opacities, shs, 3, cam.arrays(), W, H, jnp.zeros(3), cfg
+    )
+    prep = preprocess(
+        means, scales, quats, opacities, shs, 3, cam.arrays(), W, H, 16, 16
+    )
+    assert int(aux["num_entries"]) == int(prep.tiles_touched.sum())
+
+
+def test_mean2d_bias_gradient(scene):
+    """The densification-stats gradient: dL/d(NDC mean) via mean2d_bias."""
+    (means, scales, quats, opacities, shs), cam = scene
+    cfg = RasterizerConfig(backend="xla", capacity_mult=16, chunk=128)
+    bias = jnp.zeros((means.shape[0], 2))
+
+    def f(b):
+        img, _ = rasterize(
+            means, scales, quats, opacities, shs, 3, cam.arrays(), W, H,
+            jnp.zeros(3), cfg, mean2d_bias=b,
+        )
+        return jnp.mean(img**2)
+
+    g = np.asarray(jax.grad(f)(bias))
+    assert np.isfinite(g).all()
+    assert np.abs(g).max() > 0
