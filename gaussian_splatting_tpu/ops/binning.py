@@ -67,6 +67,11 @@ def build_tile_lists(
     tile_key = jnp.where(valid, tile, num_tiles).astype(jnp.int32)
     depth_key = jnp.where(valid, depths[gauss_id], jnp.inf).astype(jnp.float32)
 
+    # Padding slots (jnp.repeat pads with the last id) must not reference
+    # any real row: any garbage there would leak NaN/Inf into gradients
+    # through 0 * NaN cotangents in the compositing backward.
+    gauss_id = jnp.where(valid, gauss_id, 0)
+
     # Lexicographic (tile, depth) sort == the reference's single radix sort
     # over tileID<<32|depth (rasterizer_impl.cu:357-374); stable like cub.
     s_tile, s_depth, s_gauss, s_valid = jax.lax.sort(

@@ -111,14 +111,16 @@ def composite_tiles(
     pad = n_chunks * C - K
 
     gid = lists.gauss_id
-    # Per-entry records, gathered once. Invalid entries -> opacity 0 and
-    # sentinel tile (clamped below; their contributions are masked anyway).
-    e_mean = prep.means2d[gid]
-    e_conic = prep.conic[gid]
-    e_rgb = prep.rgb[gid]
-    e_op = jnp.where(lists.entry_valid, prep.opacity[gid], 0.0)
+    # Per-entry records, gathered once. Invalid (padding) entries are made
+    # fully inert — opacity 0 AND neutral geometry — so no garbage value can
+    # reach the gradient graph even through untaken `where` branches.
+    ev = lists.entry_valid
+    e_mean = jnp.where(ev[:, None], prep.means2d[gid], 0.0)
+    e_conic = jnp.where(ev[:, None], prep.conic[gid], jnp.array([1.0, 0.0, 1.0]))
+    e_rgb = jnp.where(ev[:, None], prep.rgb[gid], 0.0)
+    e_op = jnp.where(ev, prep.opacity[gid], 0.0)
     e_tile = jnp.minimum(lists.entry_tile, num_tiles - 1)
-    e_valid = lists.entry_valid
+    e_valid = ev
 
     def pad0(x):
         if pad == 0:

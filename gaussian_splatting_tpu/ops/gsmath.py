@@ -18,6 +18,7 @@ Behavioral parity notes (cited against /root/reference):
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 # Real spherical harmonics constants (auxiliary.h:22-39).
@@ -42,8 +43,17 @@ SH_C3 = (
 
 
 def normalize_quat(q):
-    """Normalize quaternions, (..., 4) in (w, x, y, z) layout."""
-    return q / jnp.linalg.norm(q, axis=-1, keepdims=True)
+    """Normalize quaternions, (..., 4) in (w, x, y, z) layout.
+
+    Zero quaternions (padding rows) map to the identity rotation instead
+    of NaN — the double-where trick keeps both values and gradients clean.
+    """
+    norm2 = jnp.sum(q * q, axis=-1, keepdims=True)
+    ok = norm2 > 0.0
+    inv = jax.lax.rsqrt(jnp.where(ok, norm2, 1.0))
+    qn = q * inv
+    identity = jnp.zeros_like(q).at[..., 0].set(1.0)
+    return jnp.where(ok, qn, identity)
 
 
 def quat_to_rotmat(q):

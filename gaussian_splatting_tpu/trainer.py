@@ -1,0 +1,278 @@
+"""Host-side training driver: the analog of train.py:31-180.
+
+Owns the things that must stay off-device: camera sampling (random pop
+from a shuffled stack, train.py:105-108), SH-degree warmup every 1000
+iters (train.py:100-101), the densify/prune/reset cadence
+(train.py:151-169, executed in numpy at 100-iter intervals), capacity
+bucket growth (the static-shape answer to torch tensor resizing), and
+checkpointing.
+"""
+
+from __future__ import annotations
+
+import math
+import pickle
+import time
+from dataclasses import dataclass, field
+from typing import Callable, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gaussian_splatting_tpu.ops.rasterize import RasterizerConfig
+from gaussian_splatting_tpu.scene import densify as densify_mod
+from gaussian_splatting_tpu.scene.cameras import Camera
+from gaussian_splatting_tpu.scene.gaussians import (
+    GaussianParams,
+    capacity_bucket,
+    create_from_pcd,
+)
+from gaussian_splatting_tpu.scene.optim import AdamState, init_adam
+from gaussian_splatting_tpu.training import (
+    OptimizationConfig,
+    TrainState,
+    init_train_state,
+    train_step,
+)
+
+PARAM_NAMES = ("xyz", "features_dc", "features_rest", "scaling", "rotation", "opacity")
+
+
+def _state_to_host(state: TrainState):
+    """Pull live rows to host numpy dicts (params + adam moments)."""
+    alive = np.asarray(state.alive)
+    idx = np.nonzero(alive)[0]
+    params = {k: np.asarray(getattr(state.params, k))[idx] for k in PARAM_NAMES}
+    m = {k: np.asarray(getattr(state.adam.m, k))[idx] for k in PARAM_NAMES}
+    v = {k: np.asarray(getattr(state.adam.v, k))[idx] for k in PARAM_NAMES}
+    stats = dict(
+        max_radii2d=np.asarray(state.max_radii2d)[idx],
+        xyz_grad_accum=np.asarray(state.xyz_grad_accum)[idx],
+        denom=np.asarray(state.denom)[idx],
+    )
+    return params, m, v, stats, int(np.asarray(state.adam.step))
+
+
+def _state_from_host(params, m, v, step, capacity: int, min_capacity: int) -> TrainState:
+    n = params["xyz"].shape[0]
+    cap = max(capacity_bucket(n, min_capacity), capacity)
+
+    def pad(x, fill=0.0):
+        out = np.full((cap,) + x.shape[1:], fill, np.float32)
+        out[:n] = x
+        return out
+
+    fills = dict(xyz=0.0, features_dc=0.0, features_rest=0.0, scaling=-10.0,
+                 rotation=0.0, opacity=-10.0)
+    gp = GaussianParams(**{k: jnp.asarray(pad(params[k], fills[k])) for k in PARAM_NAMES})
+    gm = GaussianParams(**{k: jnp.asarray(pad(m[k])) for k in PARAM_NAMES})
+    gv = GaussianParams(**{k: jnp.asarray(pad(v[k])) for k in PARAM_NAMES})
+    alive = np.zeros((cap,), bool)
+    alive[:n] = True
+    N = cap
+    return TrainState(
+        params=gp,
+        adam=AdamState(m=gm, v=gv, step=jnp.asarray(step, jnp.int32)),
+        alive=jnp.asarray(alive),
+        max_radii2d=jnp.zeros((N,), jnp.float32),
+        xyz_grad_accum=jnp.zeros((N,), jnp.float32),
+        denom=jnp.zeros((N,), jnp.float32),
+    )
+
+
+@dataclass
+class Trainer:
+    cameras: List[Camera]
+    opt: OptimizationConfig = field(default_factory=OptimizationConfig)
+    raster_cfg: RasterizerConfig = field(default_factory=RasterizerConfig)
+    sh_degree: int = 3
+    white_background: bool = False
+    cameras_extent: float = 1.0
+    spatial_lr_scale: float = 1.0
+    min_capacity: int = 1024
+    seed: int = 0
+    log_every: int = 50
+    log_fn: Callable[[int, dict], None] = lambda it, m: None
+
+    def __post_init__(self):
+        self.rng = np.random.default_rng(self.seed)
+        self.py_rng_stack: List[int] = []
+        self.iteration = 0
+        self.active_sh_degree = 0
+        self.state: Optional[TrainState] = None
+        bg = [1.0, 1.0, 1.0] if self.white_background else [0.0, 0.0, 0.0]
+        self.background = jnp.asarray(bg, jnp.float32)
+        self.history: List[dict] = []
+
+    # ---- setup ----
+    def init_from_pcd(self, points: np.ndarray, colors: np.ndarray):
+        cap = capacity_bucket(points.shape[0], self.min_capacity)
+        params, alive = create_from_pcd(points, colors, self.sh_degree, capacity=cap)
+        self.state = init_train_state(params, alive)
+
+    def _pop_camera(self) -> Camera:
+        if not self.py_rng_stack:
+            self.py_rng_stack = list(range(len(self.cameras)))
+        i = self.py_rng_stack.pop(int(self.rng.integers(len(self.py_rng_stack))))
+        return self.cameras[i]
+
+    @property
+    def num_live(self) -> int:
+        return int(np.asarray(self.state.alive).sum())
+
+    # ---- the loop ----
+    def train(self, iterations: Optional[int] = None, progress: bool = False):
+        total = iterations if iterations is not None else self.opt.iterations
+        end = self.iteration + total
+        while self.iteration < end:
+            self.step()
+            if progress and self.iteration % self.log_every == 0:
+                m = self.history[-1]
+                print(
+                    f"it {self.iteration}: loss {m['loss']:.4f} psnr {m['psnr']:.2f} "
+                    f"P {self.num_live} entries {m['num_entries']}"
+                )
+
+    def step(self):
+        self.iteration += 1
+        it = self.iteration
+
+        # SH warmup every 1000 iters (train.py:100-101)
+        if it % 1000 == 0 and self.active_sh_degree < self.sh_degree:
+            self.active_sh_degree += 1
+
+        camera = self._pop_camera()
+        bg = (
+            jnp.asarray(self.rng.uniform(size=3), jnp.float32)
+            if self.opt.random_background
+            else self.background
+        )
+        gt = jnp.asarray(camera.image.transpose(1, 2, 0), jnp.float32)
+
+        in_densify_window = it < self.opt.densify_until_iter
+        self.state, metrics = train_step(
+            self.state,
+            jax.tree.map(jnp.asarray, camera.arrays()),
+            gt,
+            bg,
+            jnp.asarray(it, jnp.int32),
+            sh_degree=self.sh_degree,
+            active_sh_degree=self.active_sh_degree,
+            width=camera.width,
+            height=camera.height,
+            raster_cfg=self.raster_cfg,
+            opt=self.opt,
+            spatial_lr_scale=self.spatial_lr_scale,
+            update_densify_stats=in_densify_window,
+        )
+        m = {k: float(v) if np.ndim(v) == 0 else v for k, v in jax.device_get(metrics).items()}
+        m["iteration"] = it
+        self.history.append(m)
+
+        # Capacity overflow check: grow the entry budget if the tile list
+        # clipped (reference reallocates its arena, rasterize_points.cu:28-36).
+        cap = self.raster_cfg.capacity(self.state.params.xyz.shape[0])
+        if m["num_entries"] > cap:
+            mult = self.raster_cfg.capacity_mult
+            while mult * self.state.params.xyz.shape[0] < m["num_entries"]:
+                mult *= 2
+            self.raster_cfg = RasterizerConfig(
+                tile_w=self.raster_cfg.tile_w,
+                tile_h=self.raster_cfg.tile_h,
+                capacity_mult=mult,
+                chunk=self.raster_cfg.chunk,
+                backend=self.raster_cfg.backend,
+            )
+
+        # Densification cadence (train.py:151-169)
+        if in_densify_window:
+            if (
+                it > self.opt.densify_from_iter
+                and it % self.opt.densification_interval == 0
+            ):
+                size_threshold = 20 if it > self.opt.opacity_reset_interval else None
+                self._densify_and_prune(size_threshold)
+            if it % self.opt.opacity_reset_interval == 0 or (
+                self.white_background and it == self.opt.densify_from_iter
+            ):
+                self._reset_opacity()
+
+        return m
+
+    # ---- host-side density control ----
+    def _densify_and_prune(self, size_threshold):
+        params, m, v, stats, step = _state_to_host(self.state)
+        res = densify_mod.densify_and_prune(
+            params,
+            m,
+            v,
+            stats["xyz_grad_accum"],
+            stats["denom"],
+            stats["max_radii2d"],
+            max_grad=self.opt.densify_grad_threshold,
+            min_opacity=0.005,
+            extent=self.cameras_extent,
+            max_screen_size=size_threshold,
+            percent_dense=self.opt.percent_dense,
+            rng=self.rng,
+        )
+        old_cap = self.state.params.xyz.shape[0]
+        self.state = _state_from_host(
+            res.params, res.adam_m, res.adam_v, step, old_cap, self.min_capacity
+        )
+
+    def _reset_opacity(self):
+        params, m, v, stats, step = _state_to_host(self.state)
+        params, m, v = densify_mod.reset_opacity(params, m, v)
+        old_cap = self.state.params.xyz.shape[0]
+        new_state = _state_from_host(params, m, v, step, old_cap, self.min_capacity)
+        # opacity reset keeps densification stats (only densify resets them)
+        n = params["xyz"].shape[0]
+        self.state = new_state._replace(
+            max_radii2d=new_state.max_radii2d.at[:n].set(stats["max_radii2d"]),
+            xyz_grad_accum=new_state.xyz_grad_accum.at[:n].set(stats["xyz_grad_accum"]),
+            denom=new_state.denom.at[:n].set(stats["denom"]),
+        )
+
+    # ---- checkpointing (train.py:178-180, gaussian_model.py:80-112) ----
+    def save_checkpoint(self, path: str):
+        params, m, v, stats, step = _state_to_host(self.state)
+        payload = dict(
+            iteration=self.iteration,
+            active_sh_degree=self.active_sh_degree,
+            sh_degree=self.sh_degree,
+            spatial_lr_scale=self.spatial_lr_scale,
+            cameras_extent=self.cameras_extent,
+            params=params,
+            adam_m=m,
+            adam_v=v,
+            adam_step=step,
+            stats=stats,
+        )
+        with open(path, "wb") as f:
+            pickle.dump(payload, f)
+
+    def load_checkpoint(self, path: str):
+        with open(path, "rb") as f:
+            payload = pickle.load(f)
+        self.iteration = payload["iteration"]
+        self.active_sh_degree = payload["active_sh_degree"]
+        self.sh_degree = payload["sh_degree"]
+        self.spatial_lr_scale = payload["spatial_lr_scale"]
+        self.cameras_extent = payload["cameras_extent"]
+        self.state = _state_from_host(
+            payload["params"],
+            payload["adam_m"],
+            payload["adam_v"],
+            payload["adam_step"],
+            0,
+            self.min_capacity,
+        )
+        n = payload["params"]["xyz"].shape[0]
+        st = payload["stats"]
+        self.state = self.state._replace(
+            max_radii2d=self.state.max_radii2d.at[:n].set(st["max_radii2d"]),
+            xyz_grad_accum=self.state.xyz_grad_accum.at[:n].set(st["xyz_grad_accum"]),
+            denom=self.state.denom.at[:n].set(st["denom"]),
+        )
