@@ -1,0 +1,145 @@
+"""Offline rendering CLI — same surface as the reference render.py.
+
+    python -m gaussian_splatting_tpu.cli.render -m <model> [--iteration N]
+
+Renders train+test cameras of a trained model to PNGs under
+<model>/{train,test}/ours_<iter>/{renders,gt}/NNNNN.png (render.py:24-35).
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+from argparse import ArgumentParser
+
+import numpy as np
+
+from gaussian_splatting_tpu.config import ModelParams, PipelineParams, get_combined_args
+from gaussian_splatting_tpu.ops.rasterize import RasterizerConfig
+from gaussian_splatting_tpu.scene.gaussians import GaussianParams, capacity_bucket
+from gaussian_splatting_tpu.scene.scene import Scene
+from gaussian_splatting_tpu.training import eval_render
+from gaussian_splatting_tpu.utils.general import mkdir_p, safe_state
+
+
+def _save_png(path: str, img: np.ndarray):
+    import imageio
+
+    imageio.imwrite(path, (np.clip(img, 0.0, 1.0) * 255.0 + 0.5).astype(np.uint8))
+
+
+def load_model_padded(scene: Scene, min_capacity: int = 1024):
+    """Load a trained PLY into a padded (params, alive) pair."""
+    import jax.numpy as jnp
+
+    raw = scene.load_gaussians()
+    n = raw["xyz"].shape[0]
+    cap = capacity_bucket(n, min_capacity)
+
+    def pad(x, fill=0.0):
+        out = np.full((cap,) + x.shape[1:], fill, np.float32)
+        out[:n] = x
+        return out
+
+    params = GaussianParams(
+        xyz=jnp.asarray(pad(raw["xyz"])),
+        features_dc=jnp.asarray(pad(raw["features_dc"])),
+        features_rest=jnp.asarray(pad(raw["features_rest"])),
+        scaling=jnp.asarray(pad(raw["scaling"], -10.0)),
+        rotation=jnp.asarray(pad(raw["rotation"])),
+        opacity=jnp.asarray(pad(raw["opacity"], -10.0)),
+    )
+    alive = np.zeros((cap,), bool)
+    alive[:n] = True
+    return params, jnp.asarray(alive)
+
+
+def render_set(model_path, name, iteration, views, params, alive, bg, sh_degree, raster_cfg):
+    import jax
+    import jax.numpy as jnp
+
+    render_path = os.path.join(model_path, name, f"ours_{iteration}", "renders")
+    gts_path = os.path.join(model_path, name, f"ours_{iteration}", "gt")
+    mkdir_p(render_path)
+    mkdir_p(gts_path)
+
+    for idx, view in enumerate(views):
+        cam = jax.tree.map(jnp.asarray, view.arrays())
+        img, _ = eval_render(
+            params, alive, cam, bg, sh_degree, sh_degree,
+            view.width, view.height, raster_cfg,
+        )
+        _save_png(os.path.join(render_path, f"{idx:05d}.png"), np.asarray(img))
+        _save_png(
+            os.path.join(gts_path, f"{idx:05d}.png"),
+            view.image.transpose(1, 2, 0),
+        )
+        print(f"\rRendering {name} {idx + 1}/{len(views)}", end="")
+    print()
+
+
+def render_sets(dataset, iteration, pipe, skip_train=False, skip_test=False):
+    import jax.numpy as jnp
+
+    scene = Scene(
+        source_path=dataset.source_path,
+        model_path=dataset.model_path,
+        images=dataset.images,
+        eval_split=dataset.eval,
+        white_background=dataset.white_background,
+        resolution=dataset.resolution,
+        load_iteration=iteration,
+        shuffle=False,
+        sh_degree=dataset.sh_degree,
+    )
+    params, alive = load_model_padded(scene)
+    bg = jnp.asarray([1.0, 1.0, 1.0] if dataset.white_background else [0.0, 0.0, 0.0])
+    raster_cfg = RasterizerConfig(
+        tile_w=pipe.tile_size, tile_h=pipe.tile_size,
+        capacity_mult=pipe.capacity_mult, backend=pipe.backend,
+    )
+    if not skip_train:
+        render_set(
+            dataset.model_path, "train", scene.loaded_iter,
+            scene.get_train_cameras(), params, alive, bg, dataset.sh_degree, raster_cfg,
+        )
+    if not skip_test:
+        render_set(
+            dataset.model_path, "test", scene.loaded_iter,
+            scene.get_test_cameras(), params, alive, bg, dataset.sh_degree, raster_cfg,
+        )
+
+
+def main(argv=None):
+    parser = ArgumentParser(description="Testing script parameters")
+    ModelParams.add_to_parser(parser, "Loading Parameters", fill_none=True)
+    PipelineParams.add_to_parser(parser, "Pipeline Parameters")
+    parser.add_argument("--iteration", default=-1, type=int)
+    parser.add_argument("--skip_train", action="store_true")
+    parser.add_argument("--skip_test", action="store_true")
+    parser.add_argument("--quiet", action="store_true")
+    args = get_combined_args(parser, argv)
+    print("Rendering " + args.model_path)
+    safe_state(args.quiet)
+    # fill_none leaves unset flags as None; restore dataclass defaults
+    for f, default in (("sh_degree", 3), ("images", "images"), ("resolution", -1),
+                       ("white_background", False), ("eval", False), ("data_device", "tpu")):
+        if getattr(args, f, None) is None:
+            setattr(args, f, default)
+    if getattr(args, "backend", None) is None:
+        args.backend = "xla"
+    if getattr(args, "tile_size", None) is None:
+        args.tile_size = 16
+    if getattr(args, "capacity_mult", None) is None:
+        args.capacity_mult = 8
+    render_sets(
+        ModelParams.extract(args),
+        args.iteration,
+        PipelineParams.extract(args),
+        skip_train=args.skip_train,
+        skip_test=args.skip_test,
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -66,10 +66,14 @@ def seg_cumsum(x: jnp.ndarray, first: jnp.ndarray) -> jnp.ndarray:
     return out
 
 
-def _tile_pixel_coords(tile_idx, grid_x: int, tile_w: int, tile_h: int):
-    """Pixel-center coordinates for each entry's tile: (C, TPX) x/y."""
+def _tile_pixel_coords(tile_idx, grid_x: int, tile_w: int, tile_h: int, origin_y: int = 0):
+    """Pixel-center coordinates for each entry's tile: (C, TPX) x/y.
+
+    origin_y: global pixel row of this (possibly device-local) tile grid's
+    first row — used by tile-strip sharding (parallel/sharding.py).
+    """
     ox = (tile_idx % grid_x) * tile_w
-    oy = (tile_idx // grid_x) * tile_h
+    oy = (tile_idx // grid_x) * tile_h + origin_y
     lx = jnp.arange(tile_w, dtype=jnp.float32)
     ly = jnp.arange(tile_h, dtype=jnp.float32)
     px = (ox[:, None, None] + lx[None, None, :]).astype(jnp.float32)  # (C, 1, TW)
@@ -100,6 +104,7 @@ def composite_tiles(
     tile_h: int,
     bg: jnp.ndarray,  # (3,)
     chunk: int = 256,
+    origin_y: int = 0,
 ) -> CompositeOut:
     grid_x = (width + tile_w - 1) // tile_w
     grid_y = (height + tile_h - 1) // tile_h
@@ -141,7 +146,7 @@ def composite_tiles(
         logT, acc, done = carry
         m, cn, rgb, op, ct, valid = chunk_xs
 
-        px, py = _tile_pixel_coords(ct, grid_x, tile_w, tile_h)
+        px, py = _tile_pixel_coords(ct, grid_x, tile_w, tile_h, origin_y)
         alpha, skip = _alpha(m, cn, op, px, py)
         skip = jnp.logical_or(skip, ~valid[:, None])
         alpha_eff = jnp.where(skip, 0.0, alpha)

@@ -21,11 +21,16 @@ import jax.numpy as jnp
 
 
 def _expand_bits(v):
-    """Spread 10 bits of v over 30 bits (Morton interleave helper)."""
-    v = (v * 0x00010001) & 0xFF0000FF
-    v = (v * 0x00000101) & 0x0F00F00F
-    v = (v * 0x00000011) & 0xC30C30C3
-    v = (v * 0x00000005) & 0x49249249
+    """Spread 10 bits of v over 30 bits (Morton interleave helper).
+
+    Masks are explicit uint32: with x64 disabled, Python ints above 2^31
+    fail to weak-type into a 32-bit lane.
+    """
+    u = jnp.uint32
+    v = (v * u(0x00010001)) & u(0xFF0000FF)
+    v = (v * u(0x00000101)) & u(0x0F00F00F)
+    v = (v * u(0x00000011)) & u(0xC30C30C3)
+    v = (v * u(0x00000005)) & u(0x49249249)
     return v
 
 

@@ -10,6 +10,8 @@ os.environ["XLA_FLAGS"] = (
     os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
 )
 
+os.environ.setdefault("GS_TPU_BLENDER_INIT_POINTS", "2000")
+
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")

@@ -1,0 +1,62 @@
+"""CLI end-to-end: train -> render -> metrics on a synthetic Blender scene.
+
+The full reference workflow (train.py / render.py / metrics.py surfaces)
+driven in-process with tiny settings.
+"""
+
+import json
+import os
+import sys
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, os.path.dirname(__file__))
+
+
+@pytest.fixture(scope="module")
+def scene_dir(tmp_path_factory):
+    from make_synthetic_scene import make_blender_scene
+
+    d = str(tmp_path_factory.mktemp("scene"))
+    make_blender_scene(d, n_train=3, n_test=1)
+    return d
+
+
+def test_train_render_metrics(scene_dir, tmp_path):
+    from gaussian_splatting_tpu.cli import metrics as metrics_cli
+    from gaussian_splatting_tpu.cli import render as render_cli
+    from gaussian_splatting_tpu.cli import train as train_cli
+
+    model_dir = str(tmp_path / "model")
+    train_cli.main(
+        [
+            "-s", scene_dir, "-m", model_dir,
+            "--iterations", "20",
+            "--test_iterations", "20",
+            "--save_iterations", "20",
+            "--checkpoint_iterations", "20",
+            "--densify_from_iter", "1000",
+            "--eval",
+            "--disable_viewer",
+            "--capacity_mult", "2",
+        ]
+    )
+    ply_path = os.path.join(model_dir, "point_cloud/iteration_20/point_cloud.ply")
+    assert os.path.exists(ply_path)
+    assert os.path.exists(os.path.join(model_dir, "cfg_args"))
+    assert os.path.exists(os.path.join(model_dir, "chkpnt20.pth"))
+
+    render_cli.main(["-m", model_dir, "--skip_train"])
+    out = os.path.join(model_dir, "test/ours_20")
+    renders = os.listdir(os.path.join(out, "renders"))
+    assert len(renders) == 1
+    gts = os.listdir(os.path.join(out, "gt"))
+    assert len(gts) == 1
+
+    metrics_cli.main(["-m", model_dir])
+    with open(os.path.join(model_dir, "results.json")) as f:
+        results = json.load(f)
+    m = results["ours_20"]
+    assert 0.0 < m["SSIM"] <= 1.0
+    assert m["PSNR"] > 5.0

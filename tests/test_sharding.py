@@ -1,0 +1,99 @@
+"""Multi-device (8 virtual CPU devices) sharded training step tests.
+
+The sharded step (Gaussian shards + tile strips + ICI collectives) must
+produce the same loss, image metrics, and parameter updates as the
+single-device step.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gaussian_splatting_tpu.ops.rasterize import RasterizerConfig
+from gaussian_splatting_tpu.parallel import sharding
+from gaussian_splatting_tpu.scene.gaussians import create_from_pcd
+from gaussian_splatting_tpu.training import (
+    OptimizationConfig,
+    init_train_state,
+    train_step,
+)
+
+from helpers import make_camera, make_gaussians
+
+W, H = 64, 48
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_sharded_step_matches_single_device():
+    rng = np.random.default_rng(0)
+    pts = rng.normal(0, 0.8, (40, 3)).astype(np.float32)
+    colors = rng.uniform(0.2, 0.8, (40, 3)).astype(np.float32)
+    params, alive = create_from_pcd(pts, colors, 3, capacity=128)
+
+    cam = make_camera(W, H)
+    gt = jnp.asarray(rng.uniform(size=(H, W, 3)), jnp.float32)
+    bg = jnp.zeros(3)
+    cam_arrays = jax.tree.map(jnp.asarray, cam.arrays())
+    opt = OptimizationConfig()
+    cfg = RasterizerConfig(backend="xla", capacity_mult=16, chunk=128)
+
+    # sharded state FIRST (device_put copies the buffers) — the
+    # single-device train_step donates its input, deleting the originals.
+    mesh = sharding.make_mesh(8)
+    state8 = sharding.shard_train_state(init_train_state(params, alive), mesh)
+
+    # single-device result
+    state1 = init_train_state(params, alive)
+    new1, metrics1 = train_step(
+        state1, cam_arrays, gt, bg, jnp.asarray(1, jnp.int32),
+        sh_degree=3, active_sh_degree=2, width=W, height=H,
+        raster_cfg=cfg, opt=opt, spatial_lr_scale=1.0,
+    )
+    metrics1 = jax.device_get(metrics1)
+    step8 = sharding.make_sharded_train_step(
+        mesh, 3, 2, W, H, cfg, opt, 1.0
+    )
+    new8, metrics8 = step8(state8, cam_arrays, gt, bg, jnp.asarray(1, jnp.int32))
+    metrics8 = jax.device_get(metrics8)
+
+    assert np.isfinite(metrics8["loss"])
+    np.testing.assert_allclose(metrics8["loss"], metrics1["loss"], rtol=1e-5)
+    np.testing.assert_allclose(metrics8["l1"], metrics1["l1"], rtol=1e-5)
+    assert int(metrics8["num_visible"]) == int(metrics1["num_visible"])
+
+    # parameter updates agree across the two execution layouts
+    for name in ("xyz", "scaling", "opacity", "features_dc"):
+        a = np.asarray(getattr(new1.params, name))
+        b = np.asarray(getattr(new8.params, name))
+        np.testing.assert_allclose(a, b, atol=2e-5, err_msg=name)
+
+    # densify stats agree
+    np.testing.assert_allclose(
+        np.asarray(new1.xyz_grad_accum), np.asarray(new8.xyz_grad_accum), atol=1e-6
+    )
+    np.testing.assert_array_equal(np.asarray(new1.denom), np.asarray(new8.denom))
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_sharded_step_runs_multiple_iterations():
+    rng = np.random.default_rng(1)
+    pts = rng.normal(0, 0.8, (24, 3)).astype(np.float32)
+    colors = rng.uniform(0.2, 0.8, (24, 3)).astype(np.float32)
+    params, alive = create_from_pcd(pts, colors, 3, capacity=128)
+
+    cam = make_camera(W, H)
+    gt = jnp.asarray(rng.uniform(size=(H, W, 3)), jnp.float32)
+    cam_arrays = jax.tree.map(jnp.asarray, cam.arrays())
+    mesh = sharding.make_mesh(8)
+    state = sharding.shard_train_state(init_train_state(params, alive), mesh)
+    cfg = RasterizerConfig(backend="xla", capacity_mult=16, chunk=128)
+    step = sharding.make_sharded_train_step(
+        mesh, 3, 0, W, H, cfg, OptimizationConfig(), 1.0
+    )
+    losses = []
+    for it in range(1, 6):
+        state, m = step(state, cam_arrays, gt, jnp.zeros(3), jnp.asarray(it, jnp.int32))
+        losses.append(float(m["loss"]))
+    assert all(np.isfinite(losses))
+    assert losses[-1] < losses[0]  # optimizing
