@@ -132,8 +132,10 @@ def test_blender_scene_end_to_end(tmp_path):
     assert len(scene.get_test_cameras()) == 1
     assert os.path.exists(os.path.join(model_dir, "cameras.json"))
     assert os.path.exists(os.path.join(model_dir, "input.ply"))
-    # random-100k-point init created on disk
-    assert scene.info.points.shape[0] == 100_000
+    # random-point init created on disk (100k by default; conftest shrinks it
+    # via GS_TPU_BLENDER_INIT_POINTS for test speed)
+    expected_pts = int(os.environ.get("GS_TPU_BLENDER_INIT_POINTS", 100_000))
+    assert scene.info.points.shape[0] == expected_pts
 
     # reconstructed camera must reproduce the stored GT image when we
     # re-render the same Gaussians through it (round-trip through the
