@@ -20,13 +20,17 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    from gaussian_splatting_tpu.utils.general import enable_compilation_cache
+
+    enable_compilation_cache()
+
     from gaussian_splatting_tpu.ops.rasterize import RasterizerConfig, rasterize
     from gaussian_splatting_tpu.scene.cameras import Camera
 
     P = int(os.environ.get("GS_BENCH_P", 262_144))
     W = int(os.environ.get("GS_BENCH_W", 1920))
     H = int(os.environ.get("GS_BENCH_H", 1080))
-    backend = os.environ.get("GS_BENCH_BACKEND", "xla")
+    backend = os.environ.get("GS_BENCH_BACKEND", "pallas")
     chunk = int(os.environ.get("GS_BENCH_CHUNK", 1024))
     cap_mult = int(os.environ.get("GS_BENCH_CAPMULT", 8))
 

@@ -24,6 +24,10 @@ import jax
 import jax.numpy as jnp
 
 
+CHUNK = 128  # entries per aligned chunk == Pallas lane width
+
+
+
 class TileLists(NamedTuple):
     gauss_id: jnp.ndarray  # (K,) int32: Gaussian index per sorted entry
     entry_tile: jnp.ndarray  # (K,) int32: tile index per sorted entry (== num_tiles for padding)
@@ -89,4 +93,167 @@ def build_tile_lists(
         tile_start=tile_start,
         tile_stop=tile_stop,
         total=total,
+    )
+
+# ---------------------------------------------------------------------------
+# Fast path for the Pallas compositing kernels: carry the per-entry record
+# fields *through the sort* as sort values (one multi-operand lax.sort)
+# instead of gathering them afterwards. On TPU, random gathers run on the
+# scalar path (~35 ms per 5M-element gather on v5e) while lax.sort is
+# bandwidth-friendly (~29 ms for 12 operands at 4M entries) — so one sort
+# carrying 9 field values beats the reference's sort-ids-then-fetch
+# structure (rasterizer_impl.cu:345-374 + per-entry fetch in forward.cu)
+# by almost an order of magnitude end to end.
+# ---------------------------------------------------------------------------
+
+REC_ROWS = 16  # mx my ca cb cc r g b op + 7 zero pad rows (sublane aligned)
+
+
+class SortedRecords(NamedTuple):
+    rec: jnp.ndarray  # (REC_ROWS, K) f32, entries sorted by (tile, depth)
+    tile_start: jnp.ndarray  # (num_tiles,) int32
+    tile_stop: jnp.ndarray  # (num_tiles,) int32
+    total: jnp.ndarray  # () int32 true entry count (> K => overflow)
+
+
+class Visits(NamedTuple):
+    """Static-shape work list for the Pallas kernels: one visit per
+    (tile, 128-entry source block) pair, tiles ascending, blocks ascending.
+    Source blocks are aligned slices of the sorted entry array; a block at
+    a tile boundary is visited once per overlapping tile with
+    complementary lane masks. Wv = K//128 + num_tiles.
+
+    Only `tile` is Wv-sized; everything else a visit needs (block index,
+    lane bounds, first/last flags, entry rank) is derived in-kernel from
+    the (num_tiles,)-sized range arrays — the scalar-prefetch arrays live
+    in SMEM (1 MB on v5e), so per-visit metadata at full width would not
+    fit at scene scale.
+    """
+
+    tile: jnp.ndarray  # (Wv,) int32 (dummies alias the last real tile)
+    tile_start: jnp.ndarray  # (num_tiles,) int32 entry range start
+    tile_stop: jnp.ndarray  # (num_tiles,) int32 entry range stop
+    voff: jnp.ndarray  # (num_tiles + 1,) int32 visit offset per tile; [-1] = real visit count
+    tile_count: jnp.ndarray  # (num_tiles,) int32 entries per tile
+
+
+def _cummax_fill(marks: jnp.ndarray) -> jnp.ndarray:
+    return jax.lax.cummax(marks) - 1
+
+
+def emit_sorted_records(
+    means2d: jnp.ndarray,  # (P, 2)
+    conic: jnp.ndarray,  # (P, 3)
+    rgb: jnp.ndarray,  # (P, 3)
+    opacity: jnp.ndarray,  # (P,)
+    depths: jnp.ndarray,  # (P,)
+    rect_min: jnp.ndarray,  # (P, 2) int32
+    rect_max: jnp.ndarray,  # (P, 2) int32
+    tiles_touched: jnp.ndarray,  # (P,) int32
+    grid_x: int,
+    grid_y: int,
+    capacity: int,
+) -> SortedRecords:
+    p = depths.shape[0]
+    k = capacity
+    num_tiles = grid_x * grid_y
+    f32 = jnp.float32
+
+    counts = tiles_touched.astype(jnp.int32)
+    offsets = jnp.cumsum(counts) - counts
+    total = offsets[-1] + counts[-1]
+
+    # slot -> gaussian id via scatter + cummax (cheaper than jnp.repeat's
+    # gather-based lowering on TPU)
+    marks = jnp.zeros((k,), jnp.int32).at[offsets].max(
+        jnp.arange(p, dtype=jnp.int32) + 1, mode="drop"
+    )
+    gid = jnp.maximum(_cummax_fill(marks), 0)
+
+    # ONE row gather of all per-gaussian fields (row gathers amortize the
+    # TPU's scalar-path gather cost across the row's 16 lanes)
+    prow = jnp.stack(
+        [
+            means2d[:, 0].astype(f32),
+            means2d[:, 1].astype(f32),
+            conic[:, 0].astype(f32),
+            conic[:, 1].astype(f32),
+            conic[:, 2].astype(f32),
+            rgb[:, 0].astype(f32),
+            rgb[:, 1].astype(f32),
+            rgb[:, 2].astype(f32),
+            opacity.astype(f32),
+            depths.astype(f32),
+            offsets.astype(f32),  # exact for < 2^24; capacities stay below
+            rect_min[:, 0].astype(f32),
+            rect_min[:, 1].astype(f32),
+            jnp.maximum(rect_max[:, 0] - rect_min[:, 0], 1).astype(f32),
+            jnp.zeros((p,), f32),
+            jnp.zeros((p,), f32),
+        ],
+        axis=1,
+    )  # (P, 16)
+    slot = jnp.arange(k, dtype=jnp.int32)
+    valid = slot < total
+    # The where() matters for AD: padding slots beyond `total` alias the
+    # last gaussian via gid's cummax fill, and their gradient slots in the
+    # Pallas backward are never-visited (uninitialized) blocks — the
+    # select's VJP zeroes those cotangents before the gather transpose
+    # scatters them back to the per-gaussian arrays.
+    rows = jnp.where(valid[:, None], prow[gid], 0.0)  # (K, 16)
+    local = slot - rows[:, 10].astype(jnp.int32)
+    rw = jnp.maximum(rows[:, 13].astype(jnp.int32), 1)  # zeroed padding rows
+    tile_x = rows[:, 11].astype(jnp.int32) + local % rw
+    tile_y = rows[:, 12].astype(jnp.int32) + local // rw
+    tile_key = jnp.where(valid, tile_y * grid_x + tile_x, num_tiles)
+    depth_key = jnp.where(valid, rows[:, 9], jnp.inf)
+
+    sorted_ops = jax.lax.sort(
+        (tile_key.astype(jnp.int32), depth_key)
+        + tuple(rows[:, i] for i in range(9)),
+        num_keys=2,
+        is_stable=True,
+    )
+    s_tile = sorted_ops[0]
+    zero = jnp.zeros((k,), f32)
+    rec = jnp.stack(
+        list(sorted_ops[2:]) + [zero] * (REC_ROWS - 9), axis=0
+    )  # (16, K)
+
+    tile_ids = jnp.arange(num_tiles, dtype=jnp.int32)
+    tile_start = jnp.searchsorted(s_tile, tile_ids, side="left").astype(jnp.int32)
+    tile_stop = jnp.searchsorted(s_tile, tile_ids, side="right").astype(jnp.int32)
+    return SortedRecords(rec=rec, tile_start=tile_start, tile_stop=tile_stop, total=total)
+
+
+def build_visits(
+    tile_start: jnp.ndarray, tile_stop: jnp.ndarray, capacity: int, num_tiles: int
+) -> Visits:
+    a = CHUNK
+    wv = capacity // a + num_tiles
+
+    count = (tile_stop - tile_start).astype(jnp.int32)
+    first_blk = tile_start // a
+    last_blk = jnp.where(count > 0, (tile_stop - 1) // a, first_blk - 1)
+    nblk = jnp.where(count > 0, last_blk - first_blk + 1, 0)
+    voff = jnp.cumsum(nblk) - nblk
+    w_real = voff[-1] + nblk[-1]
+
+    w = jnp.arange(wv, dtype=jnp.int32)
+    marks = jnp.zeros((wv,), jnp.int32).at[voff].max(
+        jnp.where(nblk > 0, jnp.arange(num_tiles, dtype=jnp.int32) + 1, 0),
+        mode="drop",
+    )
+    v_tile = jnp.maximum(_cummax_fill(marks), 0)
+    real = w < w_real
+    last_real_tile = jnp.max(jnp.where(real, v_tile, 0))
+    v_tile = jnp.where(real, v_tile, last_real_tile)
+
+    voff_ext = jnp.concatenate([voff, w_real[None]]).astype(jnp.int32)
+    return Visits(
+        tile=v_tile.astype(jnp.int32),
+        tile_start=tile_start.astype(jnp.int32),
+        tile_stop=tile_stop.astype(jnp.int32),
+        voff=voff_ext,
+        tile_count=count,
     )

@@ -1,0 +1,492 @@
+"""Pallas TPU kernels for tile-based alpha compositing (forward + VJP).
+
+The fast path replacing `cuda_rasterizer/forward.cu::renderCUDA`
+(forward.cu:331-485) and `backward.cu::renderCUDA` (backward.cu:408-601).
+
+Design (TPU-first, not a CUDA translation):
+
+- Per-entry records arrive pre-sorted by (tile, depth) in a packed
+  (16, K) array: fields on sublanes, entries on lanes. The fields travel
+  as *sort values* (binning.emit_sorted_records) because random gathers on
+  TPU run on the scalar path (~35 ms per 5M-element gather on v5e) while
+  lax.sort is bandwidth-friendly — the opposite trade-off from the
+  reference GPU, whose rasterizer sorts ids and gathers per entry.
+- The grid walks (tile, 128-entry source block) visit pairs, tiles
+  ascending, blocks ascending (binning.build_visits). A source block at a
+  tile boundary is visited once per overlapping tile with complementary
+  lane masks — no re-layout/alignment pass is needed. All visits of one
+  tile accumulate into the same VMEM-resident (3, 256) image block (the
+  standard Pallas revisit-reduction pattern); Pallas double-buffers the
+  record stream.
+- Inside a visit, pixels live on sublanes (16x16 tile = 256) and entries
+  on lanes (128). The sequential front-to-back compositing order becomes
+  a lane-axis *cumulative product* of (1 - alpha) in linear space (TPU
+  early exit guarantees T >= 1e-4, so no log-space reconstruction is
+  needed) — the whole-chip analog of the warp-sequential blend loop at
+  forward.cu:437-463. Channel contractions use the MXU at HIGHEST
+  precision.
+- Early termination (T < 1e-4, forward.cu:452-456) is reproduced exactly
+  via masks; per-pixel `n_contrib` (rank of the last contributing entry)
+  and final transmittance are the only residuals the backward needs,
+  matching the reference's memory-light backward (rasterizer_impl.h:50-57).
+- The backward walks visits in the SAME forward order (not back-to-front
+  like backward.cu:408): the suffix color term S_i of backward.cu:549 is
+  rewritten as TOTAL - prefix_i, where TOTAL = sum_c g_c * acc_c +
+  g_ft * T_final is available per pixel from the forward residuals. With
+  forward ordering, gradient blocks shared between adjacent tiles are
+  written by *consecutive* visits and accumulate in VMEM.
+
+Gradient convention: alpha = min(0.99, op * G) gets a *gated* gradient
+(zero where clamped), matching JAX AD on the XLA backend so the two
+backends are interchangeable. (The reference CUDA backward ignores the
+clamp; the clamp is active only for near-opaque splats.)
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from gaussian_splatting_tpu.ops import binning
+from gaussian_splatting_tpu.ops.binning import Visits
+from gaussian_splatting_tpu.ops.composite import ALPHA_MAX, ALPHA_MIN, T_EPS, CompositeOut
+from gaussian_splatting_tpu.ops.projection import PreprocessOut
+
+CH = binning.CHUNK  # 128 entries per source block (lane width)
+REC_ROWS = binning.REC_ROWS
+
+_f32 = jnp.float32
+_i32 = jnp.int32
+_HI = jax.lax.Precision.HIGHEST
+
+
+def _interpret() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+def _lane_scan(x: jnp.ndarray, op, fill) -> jnp.ndarray:
+    """Inclusive prefix scan along the lane axis (axis 1, size CH).
+
+    Hillis-Steele doubling with circular rolls + masking: log2(CH) VPU
+    steps, exact f32 (Mosaic has no cumsum/cumprod primitive, and an MXU
+    matmul against a triangular mask runs in bf16 passes).
+    """
+    lane = jax.lax.broadcasted_iota(_i32, x.shape, 1)
+    k = 1
+    while k < CH:
+        shifted = pltpu.roll(x, k, 1)
+        x = op(x, jnp.where(lane >= k, shifted, fill))
+        k *= 2
+    return x
+
+
+def _shift_one(x: jnp.ndarray, fill) -> jnp.ndarray:
+    """Shift lanes right by one, filling lane 0 (inclusive -> exclusive)."""
+    lane = jax.lax.broadcasted_iota(_i32, x.shape, 1)
+    return jnp.where(lane >= 1, pltpu.roll(x, 1, 1), fill)
+
+
+
+
+def _visit_meta(w, vt_ref, ts_ref, tp_ref, vo_ref):
+    """Derive a visit's metadata from the compact (T,)-sized range arrays.
+
+    Returns (tile, block, lo, hi, rank0, first, last, dummy) as traced
+    scalars. Per-visit metadata is recomputed from SMEM rather than stored
+    at full (Wv,) width (SMEM is 1 MB on v5e).
+    """
+    num_tiles = vo_ref.shape[0] - 1
+    t = vt_ref[w]
+    start = ts_ref[t]
+    stop = tp_ref[t]
+    vo = vo_ref[t]
+    b = start // CH + (w - vo)
+    lo = jnp.clip(start - b * CH, 0, CH)
+    hi = jnp.clip(stop - b * CH, 0, CH)
+    rank0 = b * CH - start
+    nblk = (stop - 1) // CH - start // CH + 1
+    first = w == vo
+    last = w == vo + nblk - 1
+    dummy = w >= vo_ref[num_tiles]
+    return t, b, lo, hi, rank0, first, last, dummy
+
+
+def _visit_block_map(nblocks: int):
+    """index_map computing a visit's (clamped) source block index."""
+
+    def index_map(w, vt_ref, ts_ref, tp_ref, vo_ref):
+        t = vt_ref[w]
+        b = ts_ref[t] // CH + (w - vo_ref[t])
+        return (0, jnp.clip(b, 0, nblocks - 1))
+
+    return index_map
+
+
+def _visit_tile_map(w, vt_ref, *_):
+    return (vt_ref[w], 0, 0)
+
+
+def _pixel_coords(t, grid_x: int, tile_w: int, tile_h: int, origin_y: int):
+    tpx = tile_w * tile_h
+    ox = (t % grid_x) * tile_w
+    oy = (t // grid_x) * tile_h + origin_y
+    pidx = jax.lax.broadcasted_iota(_i32, (tpx, 1), 0)
+    px = (ox + pidx % tile_w).astype(_f32)
+    py = (oy + pidx // tile_w).astype(_f32)
+    return px, py
+
+
+def _chunk_geometry(rec, t, lo, hi, grid_x, tile_w, tile_h, origin_y):
+    """Shared forward-recompute: per-(pixel, entry) alpha and masks."""
+    mx, my = rec[0:1, :], rec[1:2, :]
+    ca, cb, cc = rec[2:3, :], rec[3:4, :], rec[4:5, :]
+    rgb3 = rec[5:8, :]  # (3, CH)
+    op = rec[8:9, :]
+
+    lane = jax.lax.broadcasted_iota(_i32, (1, CH), 1)
+    in_range = jnp.logical_and(lane >= lo, lane < hi)
+
+    px, py = _pixel_coords(t, grid_x, tile_w, tile_h, origin_y)
+    dx = mx - px  # (TPX, CH)
+    dy = my - py
+    power = -0.5 * (ca * dx * dx + cc * dy * dy) - cb * dx * dy
+    g = jnp.exp(power)
+    raw = op * g
+    alpha = jnp.minimum(ALPHA_MAX, raw)
+    skip = jnp.logical_or(
+        jnp.logical_or(power > 0.0, alpha < ALPHA_MIN),
+        jnp.logical_not(in_range),
+    )
+    return dict(
+        dx=dx, dy=dy, ca=ca, cb=cb, cc=cc, rgb3=rgb3,
+        g=g, raw=raw, alpha=alpha, skip=skip, lane=lane,
+    )
+
+
+def _fwd_kernel(
+    vt_ref, ts_ref, tp_ref, vo_ref,  # scalar prefetch (compact)
+    rec_ref,  # (16, CH) at the visit's source block
+    img_ref, ft_ref, nc_ref,  # outputs
+    t_s, done_s, nc_s,  # scratch (TPX, 1)
+    *, grid_x: int, tile_w: int, tile_h: int, origin_y: int,
+):
+    w = pl.program_id(0)
+    t, _b, v_lo, v_hi, v_rank0, v_first, v_last, v_dummy = _visit_meta(
+        w, vt_ref, ts_ref, tp_ref, vo_ref
+    )
+    tpx = tile_w * tile_h
+
+    @pl.when(jnp.logical_and(v_first, jnp.logical_not(v_dummy)))
+    def _():
+        img_ref[...] = jnp.zeros_like(img_ref)
+        t_s[...] = jnp.ones_like(t_s)
+        done_s[...] = jnp.zeros_like(done_s)
+        nc_s[...] = jnp.zeros_like(nc_s)
+
+    not_saturated = jnp.logical_not(jnp.all(done_s[...] > 0.0))
+
+    @pl.when(jnp.logical_and(jnp.logical_not(v_dummy), not_saturated))
+    def _():
+        geo = _chunk_geometry(
+            rec_ref[...], t, v_lo, v_hi, grid_x, tile_w, tile_h, origin_y
+        )
+        alpha, skip = geo["alpha"], geo["skip"]
+        om = jnp.where(skip, 1.0, 1.0 - alpha)  # blend factor, 1 for skipped
+
+        cp = _lane_scan(om, jnp.multiply, 1.0)  # inclusive prefix product
+        excl = _shift_one(cp, 1.0)
+        t_carry = t_s[...]  # (TPX, 1)
+        t_entry = t_carry * excl
+        test = t_entry * om
+        bad = jnp.logical_and(jnp.logical_not(skip), test < T_EPS)
+        first_bad = jnp.min(
+            jnp.where(bad, geo["lane"], CH), axis=1, keepdims=True
+        )  # (TPX, 1)
+        badcum = geo["lane"] >= first_bad
+        done = done_s[...] > 0.0
+        include = jnp.logical_and(
+            jnp.logical_not(skip),
+            jnp.logical_and(jnp.logical_not(badcum), jnp.logical_not(done)),
+        )
+
+        wgt = jnp.where(include, alpha * t_entry, 0.0)  # (TPX, CH)
+        contrib = jax.lax.dot_general(
+            geo["rgb3"], wgt, (((1,), (1,)), ((), ())),
+            preferred_element_type=_f32, precision=_HI,
+        )  # (3, TPX)
+        img_ref[0] = img_ref[0] + contrib
+
+        # T after all included entries: T is monotone decreasing over the
+        # included lanes, so the post-entry transmittance min equals the
+        # product carry (Mosaic has no reduce_prod).
+        t_s[...] = jnp.minimum(
+            jnp.min(jnp.where(include, test, jnp.inf), axis=1, keepdims=True),
+            t_carry,
+        )
+        rank = (v_rank0 + geo["lane"]).astype(_f32)
+        nc_s[...] = jnp.maximum(
+            nc_s[...],
+            jnp.max(jnp.where(include, rank + 1.0, 0.0), axis=1, keepdims=True),
+        )
+        done_s[...] = jnp.maximum(
+            done_s[...], (first_bad < CH).astype(_f32)
+        )
+
+    @pl.when(jnp.logical_and(v_last, jnp.logical_not(v_dummy)))
+    def _():
+        ft_ref[...] = t_s[...].reshape(1, 1, tpx)
+        nc_ref[...] = nc_s[...].reshape(1, 1, tpx)
+
+
+def _bwd_kernel(
+    vt_ref, ts_ref, tp_ref, vo_ref,  # scalar prefetch (compact)
+    rec_ref, img_ref, g_ref, gft_ref, ft_ref, nc_ref,  # inputs
+    drec_ref,  # output (16, CH) at the visit's source block
+    t_s, pfx_s, nc_s, tot_s,  # scratch (TPX, 1)
+    *, grid_x: int, tile_w: int, tile_h: int, origin_y: int,
+):
+    w = pl.program_id(0)
+    t, b, v_lo, v_hi, v_rank0, v_first, _v_last, v_dummy = _visit_meta(
+        w, vt_ref, ts_ref, tp_ref, vo_ref
+    )
+    tpx = tile_w * tile_h
+    # a new source block starts unless the previous visit wrote the same one
+    t_prev = vt_ref[jnp.maximum(w - 1, 0)]
+    b_prev = ts_ref[t_prev] // CH + (w - 1 - vo_ref[t_prev])
+    v_newblk = jnp.logical_and(
+        jnp.logical_not(v_dummy), jnp.logical_or(w == 0, b != b_prev)
+    )
+
+    @pl.when(jnp.logical_and(v_first, jnp.logical_not(v_dummy)))
+    def _():
+        # TOTAL[p] = sum_c g[c,p] * acc[c,p] + g_ft[p] * T_final[p]
+        # (acc = pre-background image; the suffix color term of
+        # backward.cu:549 becomes TOTAL - prefix, enabling a forward walk.)
+        g2 = g_ref[0]  # (3, TPX)
+        acc2 = img_ref[0]
+        tot_row = jnp.sum(g2 * acc2, axis=0, keepdims=True) + gft_ref[0] * ft_ref[0]
+        tot_s[...] = tot_row.reshape(tpx, 1)
+        nc_s[...] = nc_ref[...].reshape(tpx, 1)
+        t_s[...] = jnp.ones_like(t_s)
+        pfx_s[...] = jnp.zeros_like(pfx_s)
+
+    @pl.when(v_newblk)
+    def _():
+        drec_ref[...] = jnp.zeros_like(drec_ref)
+
+    @pl.when(jnp.logical_not(v_dummy))
+    def _():
+        geo = _chunk_geometry(
+            rec_ref[...], t, v_lo, v_hi, grid_x, tile_w, tile_h, origin_y
+        )
+        alpha, skip, g_exp = geo["alpha"], geo["skip"], geo["g"]
+        dx, dy = geo["dx"], geo["dy"]
+        ca, cb, cc = geo["ca"], geo["cb"], geo["cc"]
+        rgb3 = geo["rgb3"]
+
+        rank = (v_rank0 + geo["lane"]).astype(_f32)
+        include = jnp.logical_and(jnp.logical_not(skip), rank < nc_s[...])
+        om = jnp.where(include, 1.0 - alpha, 1.0)
+
+        cp = _lane_scan(om, jnp.multiply, 1.0)
+        excl = _shift_one(cp, 1.0)
+        t_i = t_s[...] * excl  # transmittance before entry i (== forward)
+        wgt = jnp.where(include, alpha * t_i, 0.0)
+
+        g2 = g_ref[0]  # (3, TPX) image cotangent for this tile
+        cg = jax.lax.dot_general(
+            g2, rgb3, (((0,), (0,)), ((), ())),
+            preferred_element_type=_f32, precision=_HI,
+        )  # (TPX, CH) = sum_c g[c,p] * rgb[c,i]
+        cgw = cg * wgt
+        pfx_incl = _lane_scan(cgw, jnp.add, 0.0) + pfx_s[...]
+        a_i = tot_s[...] - pfx_incl  # suffix color dot g, incl final_t term
+
+        dalpha = jnp.where(include, t_i * cg - a_i / om, 0.0)
+        gate = (geo["raw"] < ALPHA_MAX).astype(_f32)
+        dpower = dalpha * alpha * gate
+
+        dop = jnp.sum(dalpha * g_exp * gate, axis=0, keepdims=True)  # (1, CH)
+        dca = jnp.sum(dpower * (-0.5 * dx * dx), axis=0, keepdims=True)
+        dcb = jnp.sum(dpower * (-dx * dy), axis=0, keepdims=True)
+        dcc = jnp.sum(dpower * (-0.5 * dy * dy), axis=0, keepdims=True)
+        dmx = jnp.sum(dpower * (-(ca * dx + cb * dy)), axis=0, keepdims=True)
+        dmy = jnp.sum(dpower * (-(cc * dy + cb * dx)), axis=0, keepdims=True)
+        drgb = jax.lax.dot_general(
+            g2, wgt, (((1,), (0,)), ((), ())),
+            preferred_element_type=_f32, precision=_HI,
+        )  # (3, CH)
+
+        pad = jnp.zeros((REC_ROWS - 9, CH), _f32)
+        rows = jnp.concatenate([dmx, dmy, dca, dcb, dcc, drgb, dop, pad], axis=0)
+        drec_ref[...] = drec_ref[...] + rows
+
+        t_s[...] = jnp.minimum(
+            jnp.min(jnp.where(include, t_i * om, jnp.inf), axis=1, keepdims=True),
+            t_s[...],
+        )
+        pfx_s[...] = pfx_s[...] + jnp.sum(cgw, axis=1, keepdims=True)
+
+
+def _fwd_call(cfg, rec, v: Visits):
+    grid_x, grid_y, tile_w, tile_h, origin_y, interp = cfg
+    num_tiles = grid_x * grid_y
+    tpx = tile_w * tile_h
+    wv = v.tile.shape[0]
+
+    kernel = partial(
+        _fwd_kernel, grid_x=grid_x, tile_w=tile_w, tile_h=tile_h, origin_y=origin_y
+    )
+    nblocks = rec.shape[1] // CH
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=4,
+        grid=(wv,),
+        in_specs=[
+            pl.BlockSpec(
+                (REC_ROWS, CH), _visit_block_map(nblocks), memory_space=pltpu.VMEM
+            )
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 3, tpx), _visit_tile_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, tpx), _visit_tile_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, tpx), _visit_tile_map, memory_space=pltpu.VMEM),
+        ],
+        scratch_shapes=[pltpu.VMEM((tpx, 1), _f32)] * 3,
+    )
+    out_shape = [
+        jax.ShapeDtypeStruct((num_tiles, 3, tpx), _f32),
+        jax.ShapeDtypeStruct((num_tiles, 1, tpx), _f32),
+        jax.ShapeDtypeStruct((num_tiles, 1, tpx), _f32),
+    ]
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=out_shape,
+        compiler_params=pltpu.CompilerParams(dimension_semantics=("arbitrary",)),
+        interpret=interp,
+    )(v.tile, v.tile_start, v.tile_stop, v.voff, rec)
+
+
+def _bwd_call(cfg, rec, img, g_img, g_ft, ft, nc, v: Visits):
+    grid_x, grid_y, tile_w, tile_h, origin_y, interp = cfg
+    tpx = tile_w * tile_h
+    wv = v.tile.shape[0]
+
+    kernel = partial(
+        _bwd_kernel, grid_x=grid_x, tile_w=tile_w, tile_h=tile_h, origin_y=origin_y
+    )
+    nblocks = rec.shape[1] // CH
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=4,
+        grid=(wv,),
+        in_specs=[
+            pl.BlockSpec(
+                (REC_ROWS, CH), _visit_block_map(nblocks), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec((1, 3, tpx), _visit_tile_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 3, tpx), _visit_tile_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, tpx), _visit_tile_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, tpx), _visit_tile_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, tpx), _visit_tile_map, memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec(
+                (REC_ROWS, CH), _visit_block_map(nblocks), memory_space=pltpu.VMEM
+            ),
+        ],
+        scratch_shapes=[pltpu.VMEM((tpx, 1), _f32)] * 4,
+    )
+    (drec,) = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[jax.ShapeDtypeStruct(rec.shape, _f32)],
+        compiler_params=pltpu.CompilerParams(dimension_semantics=("arbitrary",)),
+        interpret=interp,
+    )(
+        v.tile, v.tile_start, v.tile_stop, v.voff,
+        rec, img, g_img, g_ft, ft, nc,
+    )
+    return drec
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _composite_visits(cfg, rec, vt, vts, vtp, vvo, vcnt):
+    v = Visits(vt, vts, vtp, vvo, vcnt)
+    img, ft, _nc = _fwd_call(cfg, rec, v)
+    return img, ft
+
+
+def _composite_visits_fwd(cfg, rec, vt, vts, vtp, vvo, vcnt):
+    v = Visits(vt, vts, vtp, vvo, vcnt)
+    img, ft, nc = _fwd_call(cfg, rec, v)
+    return (img, ft), (rec, img, ft, nc, v)
+
+
+def _composite_visits_bwd(cfg, res, cts):
+    rec, img, ft, nc, v = res
+    g_img, g_ft = cts
+    drec = _bwd_call(cfg, rec, img, g_img, g_ft, ft, nc, v)
+    # If nothing was visited, the drec buffer is uninitialized HBM.
+    any_real = jnp.sum(v.tile_count) > 0
+    drec = jnp.where(any_real, drec, 0.0)
+    f0 = lambda a: np.zeros(a.shape, jax.dtypes.float0)
+    return (drec,) + tuple(
+        f0(a) for a in (v.tile, v.tile_start, v.tile_stop, v.voff, v.tile_count)
+    )
+
+
+_composite_visits.defvjp(_composite_visits_fwd, _composite_visits_bwd)
+
+
+def render_tiles_pallas(
+    prep: PreprocessOut,
+    width: int,
+    height: int,
+    tile_w: int,
+    tile_h: int,
+    bg: jnp.ndarray,
+    capacity: int,
+    origin_y: int = 0,
+):
+    """Pallas fast path with the same contract as composite.composite_tiles.
+
+    Returns (CompositeOut, total_entries).
+    """
+    grid_x = (width + tile_w - 1) // tile_w
+    grid_y = (height + tile_h - 1) // tile_h
+    num_tiles = grid_x * grid_y
+    tpx = tile_w * tile_h
+    # keep >= one trailing unused block so dummy visits have a safe target
+    capacity = ((capacity + CH - 1) // CH) * CH + CH
+
+    sr = binning.emit_sorted_records(
+        prep.means2d, prep.conic, prep.rgb, prep.opacity, prep.depths,
+        prep.rect_min, prep.rect_max, prep.tiles_touched,
+        grid_x, grid_y, capacity,
+    )
+    v = binning.build_visits(sr.tile_start, sr.tile_stop, capacity, num_tiles)
+
+    cfg = (grid_x, grid_y, tile_w, tile_h, origin_y, _interpret())
+    img_tiles, ft_tiles = _composite_visits(
+        cfg, sr.rec, v.tile, v.tile_start, v.tile_stop, v.voff, v.tile_count
+    )
+
+    # Tiles the kernel never visited (no entries) hold uninitialized HBM.
+    ft_tiles = ft_tiles.reshape(num_tiles, tpx)
+    empty = v.tile_count == 0
+    img_tiles = jnp.where(empty[:, None, None], 0.0, img_tiles)
+    ft_tiles = jnp.where(empty[:, None], 1.0, ft_tiles)
+
+    img_tiles = img_tiles + ft_tiles[:, None, :] * bg[None, :, None]
+    img = img_tiles.reshape(grid_y, grid_x, 3, tile_h, tile_w)
+    img = img.transpose(0, 3, 1, 4, 2).reshape(grid_y * tile_h, grid_x * tile_w, 3)
+    ft = ft_tiles.reshape(grid_y, grid_x, tile_h, tile_w)
+    ft = ft.transpose(0, 2, 1, 3).reshape(grid_y * tile_h, grid_x * tile_w)
+    out = CompositeOut(image=img[:height, :width], final_t=ft[:height, :width])
+    return out, sr.total

@@ -112,6 +112,13 @@ def rasterize(
             prep, width, height, config.tile_w, config.tile_h, bg
         )
         num_entries = jnp.sum(prep.tiles_touched)
+    elif config.backend == "pallas":
+        from gaussian_splatting_tpu.ops.composite_pallas import render_tiles_pallas
+
+        out, num_entries = render_tiles_pallas(
+            prep, width, height, config.tile_w, config.tile_h, bg,
+            config.capacity(P),
+        )
     else:
         lists = binning.build_tile_lists(
             prep.rect_min,
@@ -123,23 +130,16 @@ def rasterize(
             config.capacity(P),
         )
         num_entries = lists.total
-        if config.backend == "pallas":
-            from gaussian_splatting_tpu.ops.composite_pallas import composite_tiles_pallas
-
-            out = composite_tiles_pallas(
-                prep, lists, width, height, config.tile_w, config.tile_h, bg
-            )
-        else:
-            out = composite.composite_tiles(
-                prep,
-                lists,
-                width,
-                height,
-                config.tile_w,
-                config.tile_h,
-                bg,
-                chunk=config.chunk,
-            )
+        out = composite.composite_tiles(
+            prep,
+            lists,
+            width,
+            height,
+            config.tile_w,
+            config.tile_h,
+            bg,
+            chunk=config.chunk,
+        )
 
     if not return_aux:
         return out.image

@@ -43,3 +43,21 @@ def mkdir_p(path: str):
 
 def search_for_max_iteration(folder: str) -> int:
     return max(int(fname.split("_")[-1]) for fname in os.listdir(folder))
+
+
+def enable_compilation_cache(cache_dir: str | None = None):
+    """Enable JAX's persistent compilation cache.
+
+    The multi-operand lax.sort in the Pallas render path takes minutes to
+    compile at scene scale; shapes are bucketed, so each bucket compiles
+    exactly once ever with the cache on. Called by the CLIs and bench.
+    """
+    import jax
+
+    cache_dir = cache_dir or os.environ.get(
+        "GS_TPU_COMPILE_CACHE", os.path.expanduser("~/.cache/gs_tpu_jax")
+    )
+    os.makedirs(cache_dir, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)

@@ -148,3 +148,78 @@ def test_mean2d_bias_gradient(scene):
     g = np.asarray(jax.grad(f)(bias))
     assert np.isfinite(g).all()
     assert np.abs(g).max() > 0
+
+
+# ---------------------------------------------------------------------------
+# Pallas backend parity (runs in interpreter mode off-TPU)
+# ---------------------------------------------------------------------------
+
+def test_pallas_matches_xla_forward(scene):
+    img_p, aux_p = _render(scene, "pallas")
+    img_x, aux_x = _render(scene, "xla")
+    # atol 2e-4: linear-space cumprod vs log-space cumsum transmittance can
+    # flip the T < 1e-4 termination test on borderline entries, whose
+    # contribution is bounded by T_EPS * rgb (forward.cu:452-456).
+    np.testing.assert_allclose(np.asarray(img_p), np.asarray(img_x), atol=2e-4)
+    np.testing.assert_allclose(
+        np.asarray(aux_p["final_t"]), np.asarray(aux_x["final_t"]), atol=2e-4
+    )
+    assert int(aux_p["num_entries"]) == int(aux_x["num_entries"])
+
+
+def test_pallas_matches_xla_gradients(scene):
+    (means, scales, quats, opacities, shs), cam = scene
+    target = jnp.zeros((H, W, 3))
+
+    def loss_fn(backend):
+        cfg = RasterizerConfig(backend=backend, capacity_mult=16, chunk=128)
+
+        def f(m, s, q, o, sh):
+            img, _ = rasterize(
+                m, s, q, o, sh, 3, cam.arrays(), W, H, jnp.zeros(3), cfg
+            )
+            return jnp.mean((img - target) ** 2)
+
+        return jax.grad(f, argnums=(0, 1, 2, 3, 4))(means, scales, quats, opacities, shs)
+
+    gp = loss_fn("pallas")
+    gx = loss_fn("xla")
+    for a, b, name in zip(gp, gx, ["means", "scales", "quats", "op", "shs"]):
+        a, b = np.asarray(a), np.asarray(b)
+        assert np.isfinite(a).all(), name
+        scale = max(np.abs(b).max(), 1e-8)
+        np.testing.assert_allclose(a, b, atol=2e-3 * scale, err_msg=name)
+    assert np.abs(np.asarray(gp[0])).max() > 0
+
+
+def test_pallas_background_and_bg_gradient(scene):
+    (means, scales, quats, opacities, shs), cam = scene
+    cfg = RasterizerConfig(backend="pallas", capacity_mult=16, chunk=128)
+
+    def f(bg):
+        img, _ = rasterize(
+            means, scales, quats, jnp.zeros_like(opacities), shs, 3,
+            cam.arrays(), W, H, bg, cfg,
+        )
+        return img
+
+    img = f(jnp.array([0.2, 0.4, 0.6]))
+    np.testing.assert_allclose(np.asarray(img[..., 0]), 0.2, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(img[..., 2]), 0.6, atol=1e-6)
+    # background gradient flows through final_t
+    g = jax.grad(lambda bg: f(bg).sum())(jnp.zeros(3))
+    np.testing.assert_allclose(np.asarray(g), W * H, rtol=1e-5)
+
+
+def test_pallas_empty_scene():
+    """Zero visible gaussians: image must be the background everywhere."""
+    cam = make_camera(W, H)
+    cfg = RasterizerConfig(backend="pallas", capacity_mult=16, chunk=128)
+    means = jnp.full((8, 3), 100.0)  # far outside the frustum
+    img, aux = rasterize(
+        means, jnp.full((8, 3), 0.01), jnp.tile(jnp.array([1.0, 0, 0, 0]), (8, 1)),
+        jnp.full((8,), 0.9), jnp.zeros((8, 16, 3)), 3, cam.arrays(), W, H,
+        jnp.array([0.1, 0.2, 0.3]), cfg,
+    )
+    np.testing.assert_allclose(np.asarray(img[..., 1]), 0.2, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(aux["final_t"]), 1.0, atol=1e-6)
