@@ -111,6 +111,7 @@ REC_ROWS = 16  # mx my ca cb cc r g b op + 7 zero pad rows (sublane aligned)
 
 class SortedRecords(NamedTuple):
     rec: jnp.ndarray  # (REC_ROWS, K) f32, entries sorted by (tile, depth)
+    gauss_id: jnp.ndarray  # (K,) int32 source gaussian (== P sentinel for padding)
     tile_start: jnp.ndarray  # (num_tiles,) int32
     tile_stop: jnp.ndarray  # (num_tiles,) int32
     total: jnp.ndarray  # () int32 true entry count (> K => overflow)
@@ -208,22 +209,32 @@ def emit_sorted_records(
     tile_key = jnp.where(valid, tile_y * grid_x + tile_x, num_tiles)
     depth_key = jnp.where(valid, rows[:, 9], jnp.inf)
 
+    # gid travels through the sort too: the hand-written VJP of the Pallas
+    # compositing routes per-entry gradients back to gaussians with one
+    # segment_sum over it (padding slots get the P sentinel segment, which
+    # also quarantines uninitialized gradient blocks of never-visited
+    # padding space).
+    gid_key = jnp.where(valid, gid, p)
     sorted_ops = jax.lax.sort(
-        (tile_key.astype(jnp.int32), depth_key)
+        (tile_key.astype(jnp.int32), depth_key, gid_key.astype(jnp.int32))
         + tuple(rows[:, i] for i in range(9)),
         num_keys=2,
         is_stable=True,
     )
     s_tile = sorted_ops[0]
+    s_gid = sorted_ops[2]
     zero = jnp.zeros((k,), f32)
     rec = jnp.stack(
-        list(sorted_ops[2:]) + [zero] * (REC_ROWS - 9), axis=0
+        list(sorted_ops[3:]) + [zero] * (REC_ROWS - 9), axis=0
     )  # (16, K)
 
     tile_ids = jnp.arange(num_tiles, dtype=jnp.int32)
     tile_start = jnp.searchsorted(s_tile, tile_ids, side="left").astype(jnp.int32)
     tile_stop = jnp.searchsorted(s_tile, tile_ids, side="right").astype(jnp.int32)
-    return SortedRecords(rec=rec, tile_start=tile_start, tile_stop=tile_stop, total=total)
+    return SortedRecords(
+        rec=rec, gauss_id=s_gid, tile_start=tile_start, tile_stop=tile_stop,
+        total=total,
+    )
 
 
 def build_visits(

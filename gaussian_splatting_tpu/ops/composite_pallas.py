@@ -120,7 +120,7 @@ def _visit_meta(w, vt_ref, ts_ref, tp_ref, vo_ref):
 def _visit_block_map(nblocks: int):
     """index_map computing a visit's (clamped) source block index."""
 
-    def index_map(w, vt_ref, ts_ref, tp_ref, vo_ref):
+    def index_map(w, vt_ref, ts_ref, tp_ref, vo_ref, *_):
         t = vt_ref[w]
         b = ts_ref[t] // CH + (w - vo_ref[t])
         return (0, jnp.clip(b, 0, nblocks - 1))
@@ -170,13 +170,14 @@ def _chunk_geometry(rec, t, lo, hi, grid_x, tile_w, tile_h, origin_y):
 
 
 def _fwd_kernel(
-    vt_ref, ts_ref, tp_ref, vo_ref,  # scalar prefetch (compact)
+    vt_ref, ts_ref, tp_ref, vo_ref, oy_ref,  # scalar prefetch (compact)
     rec_ref,  # (16, CH) at the visit's source block
     img_ref, ft_ref, nc_ref,  # outputs
     t_s, done_s, nc_s,  # scratch (TPX, 1)
-    *, grid_x: int, tile_w: int, tile_h: int, origin_y: int,
+    *, grid_x: int, tile_w: int, tile_h: int,
 ):
     w = pl.program_id(0)
+    origin_y = oy_ref[0]
     t, _b, v_lo, v_hi, v_rank0, v_first, v_last, v_dummy = _visit_meta(
         w, vt_ref, ts_ref, tp_ref, vo_ref
     )
@@ -245,13 +246,14 @@ def _fwd_kernel(
 
 
 def _bwd_kernel(
-    vt_ref, ts_ref, tp_ref, vo_ref,  # scalar prefetch (compact)
+    vt_ref, ts_ref, tp_ref, vo_ref, oy_ref,  # scalar prefetch (compact)
     rec_ref, img_ref, g_ref, gft_ref, ft_ref, nc_ref,  # inputs
     drec_ref,  # output (16, CH) at the visit's source block
     t_s, pfx_s, nc_s, tot_s,  # scratch (TPX, 1)
-    *, grid_x: int, tile_w: int, tile_h: int, origin_y: int,
+    *, grid_x: int, tile_w: int, tile_h: int,
 ):
     w = pl.program_id(0)
+    origin_y = oy_ref[0]
     t, b, v_lo, v_hi, v_rank0, v_first, _v_last, v_dummy = _visit_meta(
         w, vt_ref, ts_ref, tp_ref, vo_ref
     )
@@ -334,18 +336,16 @@ def _bwd_kernel(
         pfx_s[...] = pfx_s[...] + jnp.sum(cgw, axis=1, keepdims=True)
 
 
-def _fwd_call(cfg, rec, v: Visits):
-    grid_x, grid_y, tile_w, tile_h, origin_y, interp = cfg
+def _fwd_call(cfg, rec, v: Visits, origin_y):
+    grid_x, grid_y, tile_w, tile_h, interp = cfg
     num_tiles = grid_x * grid_y
     tpx = tile_w * tile_h
     wv = v.tile.shape[0]
 
-    kernel = partial(
-        _fwd_kernel, grid_x=grid_x, tile_w=tile_w, tile_h=tile_h, origin_y=origin_y
-    )
+    kernel = partial(_fwd_kernel, grid_x=grid_x, tile_w=tile_w, tile_h=tile_h)
     nblocks = rec.shape[1] // CH
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=4,
+        num_scalar_prefetch=5,
         grid=(wv,),
         in_specs=[
             pl.BlockSpec(
@@ -370,20 +370,18 @@ def _fwd_call(cfg, rec, v: Visits):
         out_shape=out_shape,
         compiler_params=pltpu.CompilerParams(dimension_semantics=("arbitrary",)),
         interpret=interp,
-    )(v.tile, v.tile_start, v.tile_stop, v.voff, rec)
+    )(v.tile, v.tile_start, v.tile_stop, v.voff, origin_y, rec)
 
 
-def _bwd_call(cfg, rec, img, g_img, g_ft, ft, nc, v: Visits):
-    grid_x, grid_y, tile_w, tile_h, origin_y, interp = cfg
+def _bwd_call(cfg, rec, img, g_img, g_ft, ft, nc, v: Visits, origin_y):
+    grid_x, grid_y, tile_w, tile_h, interp = cfg
     tpx = tile_w * tile_h
     wv = v.tile.shape[0]
 
-    kernel = partial(
-        _bwd_kernel, grid_x=grid_x, tile_w=tile_w, tile_h=tile_h, origin_y=origin_y
-    )
+    kernel = partial(_bwd_kernel, grid_x=grid_x, tile_w=tile_w, tile_h=tile_h)
     nblocks = rec.shape[1] // CH
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=4,
+        num_scalar_prefetch=5,
         grid=(wv,),
         in_specs=[
             pl.BlockSpec(
@@ -409,39 +407,83 @@ def _bwd_call(cfg, rec, img, g_img, g_ft, ft, nc, v: Visits):
         compiler_params=pltpu.CompilerParams(dimension_semantics=("arbitrary",)),
         interpret=interp,
     )(
-        v.tile, v.tile_start, v.tile_stop, v.voff,
+        v.tile, v.tile_start, v.tile_stop, v.voff, origin_y,
         rec, img, g_img, g_ft, ft, nc,
     )
     return drec
 
 
 @partial(jax.custom_vjp, nondiff_argnums=(0,))
-def _composite_visits(cfg, rec, vt, vts, vtp, vvo, vcnt):
-    v = Visits(vt, vts, vtp, vvo, vcnt)
-    img, ft, _nc = _fwd_call(cfg, rec, v)
+def _render_core(
+    cfg, means2d, conic, rgb, opacity, depths, rect_min, rect_max, tiles, oy
+):
+    """Differentiable emit+sort+composite with a hand-written VJP.
+
+    The custom boundary spans the sort: letting JAX AD linearize through
+    emit_sorted_records keeps ~90 entry-sized residuals alive (6 GB at 1M
+    entries). Here the residuals are the sorted records, the sorted
+    gaussian ids, and the per-tile outputs only.
+    """
+    img, ft, _total, *_ = _render_core_fwd_impl(
+        cfg, means2d, conic, rgb, opacity, depths, rect_min, rect_max, tiles, oy
+    )
     return img, ft
 
 
-def _composite_visits_fwd(cfg, rec, vt, vts, vtp, vvo, vcnt):
-    v = Visits(vt, vts, vtp, vvo, vcnt)
-    img, ft, nc = _fwd_call(cfg, rec, v)
-    return (img, ft), (rec, img, ft, nc, v)
+def _render_core_fwd_impl(
+    cfg, means2d, conic, rgb, opacity, depths, rect_min, rect_max, tiles, oy
+):
+    grid_x, grid_y, tile_w, tile_h, interp, capacity = cfg
+    num_tiles = grid_x * grid_y
+    sr = binning.emit_sorted_records(
+        means2d, conic, rgb, opacity, depths, rect_min, rect_max, tiles,
+        grid_x, grid_y, capacity,
+    )
+    v = binning.build_visits(sr.tile_start, sr.tile_stop, capacity, num_tiles)
+    kcfg = (grid_x, grid_y, tile_w, tile_h, interp)
+    img, ft, nc = _fwd_call(kcfg, sr.rec, v, oy)
+    return img, ft, sr.total, sr.rec, sr.gauss_id, v, nc
 
 
-def _composite_visits_bwd(cfg, res, cts):
-    rec, img, ft, nc, v = res
+def _render_core_fwd(
+    cfg, means2d, conic, rgb, opacity, depths, rect_min, rect_max, tiles, oy
+):
+    img, ft, total, rec, gid, v, nc = _render_core_fwd_impl(
+        cfg, means2d, conic, rgb, opacity, depths, rect_min, rect_max, tiles, oy
+    )
+    p = means2d.shape[0]
+    res = (rec, gid, v, nc, img, ft, oy, p,
+           (depths, rect_min, rect_max, tiles))
+    return (img, ft), res
+
+
+def _render_core_bwd(cfg, res, cts):
+    rec, gid, v, nc, img, ft, oy, p, (depths, rect_min, rect_max, tiles) = res
     g_img, g_ft = cts
-    drec = _bwd_call(cfg, rec, img, g_img, g_ft, ft, nc, v)
-    # If nothing was visited, the drec buffer is uninitialized HBM.
-    any_real = jnp.sum(v.tile_count) > 0
-    drec = jnp.where(any_real, drec, 0.0)
+    grid_x, grid_y, tile_w, tile_h, interp, capacity = cfg
+    kcfg = (grid_x, grid_y, tile_w, tile_h, interp)
+    drec = _bwd_call(kcfg, rec, img, g_img, g_ft, ft, nc, v, oy)
+
+    # Route per-entry gradients back to gaussians. Padding entries carry
+    # the P sentinel id, which also quarantines uninitialized gradient
+    # blocks of never-visited padding space into the dropped segment.
+    dcols = jax.ops.segment_sum(
+        drec[:9].T, gid, num_segments=p + 1, indices_are_sorted=False
+    )[:p]  # (P, 9)
+    dmeans2d = dcols[:, 0:2]
+    dconic = dcols[:, 2:5]
+    drgb = dcols[:, 5:8]
+    dop = dcols[:, 8]
     f0 = lambda a: np.zeros(a.shape, jax.dtypes.float0)
-    return (drec,) + tuple(
-        f0(a) for a in (v.tile, v.tile_start, v.tile_stop, v.voff, v.tile_count)
+    # Blend order is piecewise constant in depth: zero gradient, like the
+    # reference (depth only orders the sort; backward.cu has no d/d-depth).
+    return (
+        dmeans2d, dconic, drgb, dop, jnp.zeros_like(depths),
+        f0(rect_min), f0(rect_max), f0(tiles), f0(oy),
     )
 
 
-_composite_visits.defvjp(_composite_visits_fwd, _composite_visits_bwd)
+_render_core.defvjp(_render_core_fwd, _render_core_bwd)
 
 
 def render_tiles_pallas(
@@ -452,7 +494,7 @@ def render_tiles_pallas(
     tile_h: int,
     bg: jnp.ndarray,
     capacity: int,
-    origin_y: int = 0,
+    origin_y=0,
 ):
     """Pallas fast path with the same contract as composite.composite_tiles.
 
@@ -465,21 +507,18 @@ def render_tiles_pallas(
     # keep >= one trailing unused block so dummy visits have a safe target
     capacity = ((capacity + CH - 1) // CH) * CH + CH
 
-    sr = binning.emit_sorted_records(
-        prep.means2d, prep.conic, prep.rgb, prep.opacity, prep.depths,
-        prep.rect_min, prep.rect_max, prep.tiles_touched,
-        grid_x, grid_y, capacity,
+    cfg = (grid_x, grid_y, tile_w, tile_h, _interpret(), capacity)
+    oy = jnp.asarray(origin_y, jnp.int32).reshape(1)
+    img_tiles, ft_tiles = _render_core(
+        cfg, prep.means2d, prep.conic, prep.rgb, prep.opacity, prep.depths,
+        prep.rect_min, prep.rect_max, prep.tiles_touched, oy,
     )
-    v = binning.build_visits(sr.tile_start, sr.tile_stop, capacity, num_tiles)
-
-    cfg = (grid_x, grid_y, tile_w, tile_h, origin_y, _interpret())
-    img_tiles, ft_tiles = _composite_visits(
-        cfg, sr.rec, v.tile, v.tile_start, v.tile_stop, v.voff, v.tile_count
-    )
+    total = jnp.sum(prep.tiles_touched)
 
     # Tiles the kernel never visited (no entries) hold uninitialized HBM.
     ft_tiles = ft_tiles.reshape(num_tiles, tpx)
-    empty = v.tile_count == 0
+    counts = _tile_counts(prep, grid_x, grid_y)
+    empty = counts == 0
     img_tiles = jnp.where(empty[:, None, None], 0.0, img_tiles)
     ft_tiles = jnp.where(empty[:, None], 1.0, ft_tiles)
 
@@ -489,4 +528,26 @@ def render_tiles_pallas(
     ft = ft_tiles.reshape(grid_y, grid_x, tile_h, tile_w)
     ft = ft.transpose(0, 2, 1, 3).reshape(grid_y * tile_h, grid_x * tile_w)
     out = CompositeOut(image=img[:height, :width], final_t=ft[:height, :width])
-    return out, sr.total
+    return out, total
+
+
+def _tile_counts(prep: PreprocessOut, grid_x: int, grid_y: int) -> jnp.ndarray:
+    """Per-tile entry counts via a 2-D histogram of the (clipped) rects.
+
+    Scatter-add of +1/-1 corner marks followed by 2-D inclusive prefix
+    sums — O(P + T), no sort required. Used for the empty-tile override
+    (the kernel never writes tiles with zero entries).
+    """
+    vis = prep.tiles_touched > 0
+    x0 = jnp.where(vis, prep.rect_min[:, 0], 0)
+    y0 = jnp.where(vis, prep.rect_min[:, 1], 0)
+    x1 = jnp.where(vis, prep.rect_max[:, 0], 0)
+    y1 = jnp.where(vis, prep.rect_max[:, 1], 0)
+    one = jnp.where(vis, 1, 0)
+    grid = jnp.zeros((grid_y + 1, grid_x + 1), jnp.int32)
+    grid = grid.at[y0, x0].add(one, mode="drop")
+    grid = grid.at[y0, x1].add(-one, mode="drop")
+    grid = grid.at[y1, x0].add(-one, mode="drop")
+    grid = grid.at[y1, x1].add(one, mode="drop")
+    counts = jnp.cumsum(jnp.cumsum(grid, axis=0), axis=1)[:grid_y, :grid_x]
+    return counts.reshape(grid_y * grid_x)

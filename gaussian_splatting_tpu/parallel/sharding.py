@@ -118,19 +118,31 @@ def make_sharded_train_step(
             ).astype(jnp.int32)
 
             capacity = max(raster_cfg.capacity(P_full) // n, 256)
-            lists = binning.build_tile_lists(
-                rect_min_l, rect_max_l, depths, tiles_l, grid_x, rows_per, capacity
-            )
             prep_full = PreprocessOut(
                 means2d=means2d, depths=depths, conic=conic, rgb=rgb,
                 opacity=opacity, radii=jnp.zeros((P_full,), jnp.int32),
                 rect_min=rect_min_l, rect_max=rect_max_l,
                 tiles_touched=tiles_l, visible=visible,
             )
-            out = composite.composite_tiles(
-                prep_full, lists, width, strip_h, tw, th, bg,
-                chunk=raster_cfg.chunk, origin_y=row_lo * th,
-            )
+            if raster_cfg.backend == "pallas":
+                from gaussian_splatting_tpu.ops.composite_pallas import (
+                    render_tiles_pallas,
+                )
+
+                out, total = render_tiles_pallas(
+                    prep_full, width, strip_h, tw, th, bg, capacity,
+                    origin_y=row_lo * th,
+                )
+            else:
+                lists = binning.build_tile_lists(
+                    rect_min_l, rect_max_l, depths, tiles_l, grid_x, rows_per,
+                    capacity,
+                )
+                out = composite.composite_tiles(
+                    prep_full, lists, width, strip_h, tw, th, bg,
+                    chunk=raster_cfg.chunk, origin_y=row_lo * th,
+                )
+                total = lists.total
             # Full image on every device so the SSIM window crosses strip
             # boundaries correctly; its transpose is a dynamic-slice.
             full = jax.lax.all_gather(out.image, axis, axis=0, tiled=True)[:height]
@@ -142,7 +154,7 @@ def make_sharded_train_step(
             # shard_map, grad differentiates the SUM of per-device losses
             # (the all_gather transpose is a psum_scatter), so scale by
             # 1/n to recover the true gradient.
-            return loss / n, (prep_local, lists.total, l1, loss, full)
+            return loss / n, (prep_local, total, l1, loss, full)
 
         bias0 = jnp.zeros((params_shard.xyz.shape[0], 2), jnp.float32)
         (_, (prep_local, total, l1, loss, full)), (grads, bias_grad) = jax.value_and_grad(

@@ -97,3 +97,40 @@ def test_sharded_step_runs_multiple_iterations():
         losses.append(float(m["loss"]))
     assert all(np.isfinite(losses))
     assert losses[-1] < losses[0]  # optimizing
+
+
+def test_sharded_step_pallas_backend():
+    """The Pallas strip-compositing path must run under shard_map on the
+    virtual mesh (interpret mode off-TPU) and match the single-device
+    pallas render's loss trajectory shape (finite, decreasing-ish)."""
+    import jax
+    import jax.numpy as jnp
+
+    from gaussian_splatting_tpu.ops.rasterize import RasterizerConfig
+    from gaussian_splatting_tpu.parallel import sharding
+    from gaussian_splatting_tpu.scene.gaussians import create_from_pcd
+    from gaussian_splatting_tpu.training import OptimizationConfig, init_train_state
+
+    n = min(4, len(jax.devices()))
+    W, H = 64, 48
+    rng = np.random.default_rng(7)
+    params, alive = create_from_pcd(
+        rng.normal(0, 0.8, (48, 3)).astype(np.float32),
+        rng.uniform(0.2, 0.8, (48, 3)).astype(np.float32),
+        sh_degree=3,
+        capacity=max(128, n * 32),
+    )
+    mesh = sharding.make_mesh(n)
+    state = sharding.shard_train_state(init_train_state(params, alive), mesh)
+    cfg = RasterizerConfig(backend="pallas", capacity_mult=16, chunk=128)
+    step = sharding.make_sharded_train_step(
+        mesh, 3, 2, W, H, cfg, OptimizationConfig(), 1.0
+    )
+    cam = jax.tree.map(jnp.asarray, make_camera(W, H).arrays())
+    gt = jnp.asarray(rng.uniform(size=(H, W, 3)), jnp.float32)
+    losses = []
+    for it in range(1, 4):
+        state, m = step(state, cam, gt, jnp.zeros(3), jnp.asarray(it, jnp.int32))
+        losses.append(float(m["loss"]))
+    assert all(np.isfinite(l) for l in losses)
+    assert losses[-1] <= losses[0]
