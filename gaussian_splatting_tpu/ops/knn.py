@@ -98,7 +98,21 @@ def mean_knn_dist2_exact(points: jnp.ndarray, k: int = 3, chunk: int = 1024) -> 
 
 
 def mean_knn_dist2(points: jnp.ndarray, k: int = 3) -> jnp.ndarray:
-    """distCUDA2 equivalent: mean sq-dist to the 3 nearest neighbors."""
+    """distCUDA2 equivalent: mean sq-dist to the 3 nearest neighbors.
+
+    Large clouds prefer the multithreaded native host sweep
+    (native/gs_native.cc, the simple-knn equivalent) when built; the jnp
+    Morton path covers every environment.
+    """
     if points.shape[0] <= 20000:
         return mean_knn_dist2_exact(points, k=k)
+    if k == 3:
+        from gaussian_splatting_tpu.utils.native import get_native
+
+        native = get_native()
+        if native is not None:
+            import numpy as np
+
+            host = np.asarray(points, np.float32)
+            return jnp.asarray(native.mean_knn_dist2(host), points.dtype)
     return mean_knn_dist2_morton(points, k=k)

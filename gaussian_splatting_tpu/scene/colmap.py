@@ -135,6 +135,13 @@ def read_images_binary(path) -> Dict[int, ColmapImage]:
 
 def read_points3d_binary(path):
     """Returns (xyz (N,3) f64, rgb (N,3) u8, errors (N,))."""
+    from gaussian_splatting_tpu.utils.native import get_native
+
+    native = get_native()
+    if native is not None:
+        # one-pass C++ parse (native/gs_native.cc); the variable-length
+        # track records force a per-point loop in pure Python
+        return native.read_points3d_bin(str(path))
     with open(path, "rb") as f:
         (num,) = _read(f, 8, "Q")
         xyz = np.empty((num, 3))

@@ -15,3 +15,9 @@ os.environ.setdefault("GS_TPU_BLENDER_INIT_POINTS", "2000")
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+
+# Make the optional native extension importable in tests when built.
+_nat = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "native")
+if os.path.isdir(_nat):
+    import sys
+    sys.path.append(_nat)

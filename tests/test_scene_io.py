@@ -151,3 +151,41 @@ def test_blender_scene_end_to_end(tmp_path):
     rendered = np.clip(np.asarray(img), 0, 1)
     stored = cam.image.transpose(1, 2, 0)
     assert np.abs(rendered - stored).mean() < 2.5 / 255.0  # 8-bit quantization
+
+
+def test_native_points3d_matches_python(tmp_path):
+    """The C++ points3D.bin parser must agree with the pure-Python one."""
+    pytest.importorskip("gs_native", reason="native extension not built")
+    rng = np.random.default_rng(4)
+    xyz = rng.normal(size=(50, 3))
+    rgb = rng.integers(0, 255, (50, 3)).astype(np.uint8)
+    err = rng.uniform(size=50)
+    path = str(tmp_path / "points3D.bin")
+    colmap.write_points3d_binary(xyz, rgb, err, path)
+
+    import gs_native
+
+    nx, nr, ne = gs_native.read_points3d_bin(path)
+    np.testing.assert_allclose(nx, xyz)
+    np.testing.assert_array_equal(nr, rgb)
+    np.testing.assert_allclose(ne, err)
+
+
+def test_native_knn_close_to_exact():
+    """Native Morton 3-NN should be near the exact answer (approximation
+    quality only affects initial scales, like the reference simple-knn)."""
+    pytest.importorskip("gs_native", reason="native extension not built")
+    import gs_native
+    import jax.numpy as jnp
+    from gaussian_splatting_tpu.ops.knn import mean_knn_dist2_exact
+
+    rng = np.random.default_rng(5)
+    pts = rng.normal(size=(3000, 3)).astype(np.float32)
+    exact = np.asarray(mean_knn_dist2_exact(jnp.asarray(pts)))
+    approx = np.asarray(gs_native.mean_knn_dist2(pts))
+    rel = np.abs(approx - exact) / np.maximum(exact, 1e-12)
+    # the Morton window sweep is an approximation (like the reference
+    # simple-knn); it must be exact for most points and sane for the rest
+    assert np.median(rel) < 1e-4
+    assert (rel < 0.5).mean() > 0.75
+    assert (approx >= 0).all() and np.isfinite(approx).all()
