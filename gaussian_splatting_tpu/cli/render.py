@@ -19,7 +19,7 @@ from gaussian_splatting_tpu.ops.rasterize import RasterizerConfig
 from gaussian_splatting_tpu.scene.gaussians import GaussianParams, capacity_bucket
 from gaussian_splatting_tpu.scene.scene import Scene
 from gaussian_splatting_tpu.training import eval_render
-from gaussian_splatting_tpu.utils.general import mkdir_p, safe_state
+from gaussian_splatting_tpu.utils.general import enable_compilation_cache, mkdir_p, safe_state
 
 
 def _save_png(path: str, img: np.ndarray):
@@ -121,6 +121,7 @@ def main(argv=None):
     args = get_combined_args(parser, argv)
     print("Rendering " + args.model_path)
     safe_state(args.quiet)
+    enable_compilation_cache()
     # fill_none leaves unset flags as None; restore dataclass defaults
     for f, default in (("sh_degree", 3), ("images", "images"), ("resolution", -1),
                        ("white_background", False), ("eval", False), ("data_device", "tpu")):

@@ -23,7 +23,7 @@ from gaussian_splatting_tpu.ops.rasterize import RasterizerConfig
 from gaussian_splatting_tpu.scene.scene import Scene
 from gaussian_splatting_tpu.trainer import Trainer, _state_to_host
 from gaussian_splatting_tpu.training import OptimizationConfig
-from gaussian_splatting_tpu.utils.general import safe_state
+from gaussian_splatting_tpu.utils.general import enable_compilation_cache, safe_state
 
 
 def training(
@@ -207,6 +207,7 @@ def main(argv=None):
 
     print("Optimizing " + args.model_path)
     safe_state(args.quiet)
+    enable_compilation_cache()
     if args.detect_anomaly:
         import jax
 
