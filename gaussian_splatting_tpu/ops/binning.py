@@ -24,7 +24,7 @@ import jax
 import jax.numpy as jnp
 
 
-CHUNK = 128  # entries per aligned chunk == Pallas lane width
+CHUNK = 128  # entries per source block == Pallas lane width
 
 
 
@@ -196,18 +196,18 @@ def emit_sorted_records(
     )  # (P, 16)
     slot = jnp.arange(k, dtype=jnp.int32)
     valid = slot < total
-    # The where() matters for AD: padding slots beyond `total` alias the
-    # last gaussian via gid's cummax fill, and their gradient slots in the
-    # Pallas backward are never-visited (uninitialized) blocks — the
-    # select's VJP zeroes those cotangents before the gather transpose
-    # scatters them back to the per-gaussian arrays.
-    rows = jnp.where(valid[:, None], prow[gid], 0.0)  # (K, 16)
-    local = slot - rows[:, 10].astype(jnp.int32)
-    rw = jnp.maximum(rows[:, 13].astype(jnp.int32), 1)  # zeroed padding rows
-    tile_x = rows[:, 11].astype(jnp.int32) + local % rw
-    tile_y = rows[:, 12].astype(jnp.int32) + local // rw
+    # Transposed once so the per-field sort operands below are contiguous
+    # row views instead of nine strided column slices (each of which XLA
+    # materializes as its own ~3 ms pass at scene scale). The where()
+    # zeroes padding rows (slots beyond `total` alias the last gaussian
+    # via gid's cummax fill).
+    rows = jnp.where(valid[None, :], prow[gid].T, 0.0)  # (16, K)
+    local = slot - rows[10].astype(jnp.int32)
+    rw = jnp.maximum(rows[13].astype(jnp.int32), 1)  # zeroed padding rows
+    tile_x = rows[11].astype(jnp.int32) + local % rw
+    tile_y = rows[12].astype(jnp.int32) + local // rw
     tile_key = jnp.where(valid, tile_y * grid_x + tile_x, num_tiles)
-    depth_key = jnp.where(valid, rows[:, 9], jnp.inf)
+    depth_key = jnp.where(valid, rows[9], jnp.inf)
 
     # gid travels through the sort too: the hand-written VJP of the Pallas
     # compositing routes per-entry gradients back to gaussians with one
@@ -217,7 +217,7 @@ def emit_sorted_records(
     gid_key = jnp.where(valid, gid, p)
     sorted_ops = jax.lax.sort(
         (tile_key.astype(jnp.int32), depth_key, gid_key.astype(jnp.int32))
-        + tuple(rows[:, i] for i in range(9)),
+        + tuple(rows[i] for i in range(9)),
         num_keys=2,
         is_stable=True,
     )
