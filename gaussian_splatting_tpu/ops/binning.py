@@ -96,14 +96,16 @@ def build_tile_lists(
     )
 
 # ---------------------------------------------------------------------------
-# Fast path for the Pallas compositing kernels: carry the per-entry record
-# fields *through the sort* as sort values (one multi-operand lax.sort)
-# instead of gathering them afterwards. On TPU, random gathers run on the
-# scalar path (~35 ms per 5M-element gather on v5e) while lax.sort is
-# bandwidth-friendly (~29 ms for 12 operands at 4M entries) — so one sort
-# carrying 9 field values beats the reference's sort-ids-then-fetch
-# structure (rasterizer_impl.cu:345-374 + per-entry fetch in forward.cu)
-# by almost an order of magnitude end to end.
+# Fast path for the Pallas compositing kernels. TPU cost model (measured
+# on v5e at 4M entries): random *element* gathers run on the scalar path
+# (~35 ms per pass), *row* gathers amortize that over the row (~22 ms for
+# (K,16)), a 3-operand lax.sort costs ~15 ms but every extra value operand
+# adds a full pass (and multi-operand sorts take minutes to COMPILE). So:
+# one small row-gather for the (tile, depth) keys, a 3-operand sort of
+# (tile, depth, gaussian id), and one row-gather of the 9 render fields by
+# the sorted ids — the opposite decomposition from the reference GPU,
+# which radix-sorts ids and gathers per entry inside the render kernel
+# (rasterizer_impl.cu:345-374).
 # ---------------------------------------------------------------------------
 
 REC_ROWS = 16  # mx my ca cb cc r g b op + 7 zero pad rows (sublane aligned)
@@ -171,8 +173,44 @@ def emit_sorted_records(
     )
     gid = jnp.maximum(_cummax_fill(marks), 0)
 
-    # ONE row gather of all per-gaussian fields (row gathers amortize the
-    # TPU's scalar-path gather cost across the row's 16 lanes)
+    # key fields per entry: one small row gather
+    kprow = jnp.stack(
+        [
+            rect_min[:, 0].astype(f32),
+            rect_min[:, 1].astype(f32),
+            jnp.maximum(rect_max[:, 0] - rect_min[:, 0], 1).astype(f32),
+            offsets.astype(f32),  # exact below 2^24; capacities stay below
+            depths.astype(f32),
+            jnp.zeros((p,), f32),
+            jnp.zeros((p,), f32),
+            jnp.zeros((p,), f32),
+        ],
+        axis=1,
+    )  # (P, 8)
+    krows = kprow[gid]  # (K, 8)
+
+    slot = jnp.arange(k, dtype=jnp.int32)
+    valid = slot < total
+    local = slot - krows[:, 3].astype(jnp.int32)
+    rw = jnp.maximum(krows[:, 2].astype(jnp.int32), 1)
+    tile_x = krows[:, 0].astype(jnp.int32) + local % rw
+    tile_y = krows[:, 1].astype(jnp.int32) + local // rw
+    tile_key = jnp.where(valid, tile_y * grid_x + tile_x, num_tiles)
+    depth_key = jnp.where(valid, krows[:, 4], jnp.inf)
+    # gid travels through the sort: it routes the record row-gather below
+    # AND the hand-written VJP's per-gaussian segment_sum (padding slots
+    # get the P sentinel segment, which also quarantines uninitialized
+    # gradient blocks of never-visited padding space).
+    gid_key = jnp.where(valid, gid, p)
+
+    s_tile, _s_depth, s_gid = jax.lax.sort(
+        (tile_key.astype(jnp.int32), depth_key, gid_key.astype(jnp.int32)),
+        num_keys=2,
+        is_stable=True,
+    )
+
+    # render fields per sorted entry: one row gather + transpose to the
+    # kernel's fields-on-sublanes layout; the where() zeroes padding rows
     prow = jnp.stack(
         [
             means2d[:, 0].astype(f32),
@@ -184,49 +222,13 @@ def emit_sorted_records(
             rgb[:, 1].astype(f32),
             rgb[:, 2].astype(f32),
             opacity.astype(f32),
-            depths.astype(f32),
-            offsets.astype(f32),  # exact for < 2^24; capacities stay below
-            rect_min[:, 0].astype(f32),
-            rect_min[:, 1].astype(f32),
-            jnp.maximum(rect_max[:, 0] - rect_min[:, 0], 1).astype(f32),
-            jnp.zeros((p,), f32),
-            jnp.zeros((p,), f32),
-        ],
+        ]
+        + [jnp.zeros((p,), f32)] * (REC_ROWS - 9),
         axis=1,
-    )  # (P, 16)
-    slot = jnp.arange(k, dtype=jnp.int32)
-    valid = slot < total
-    # Transposed once so the per-field sort operands below are contiguous
-    # row views instead of nine strided column slices (each of which XLA
-    # materializes as its own ~3 ms pass at scene scale). The where()
-    # zeroes padding rows (slots beyond `total` alias the last gaussian
-    # via gid's cummax fill).
-    rows = jnp.where(valid[None, :], prow[gid].T, 0.0)  # (16, K)
-    local = slot - rows[10].astype(jnp.int32)
-    rw = jnp.maximum(rows[13].astype(jnp.int32), 1)  # zeroed padding rows
-    tile_x = rows[11].astype(jnp.int32) + local % rw
-    tile_y = rows[12].astype(jnp.int32) + local // rw
-    tile_key = jnp.where(valid, tile_y * grid_x + tile_x, num_tiles)
-    depth_key = jnp.where(valid, rows[9], jnp.inf)
-
-    # gid travels through the sort too: the hand-written VJP of the Pallas
-    # compositing routes per-entry gradients back to gaussians with one
-    # segment_sum over it (padding slots get the P sentinel segment, which
-    # also quarantines uninitialized gradient blocks of never-visited
-    # padding space).
-    gid_key = jnp.where(valid, gid, p)
-    sorted_ops = jax.lax.sort(
-        (tile_key.astype(jnp.int32), depth_key, gid_key.astype(jnp.int32))
-        + tuple(rows[i] for i in range(9)),
-        num_keys=2,
-        is_stable=True,
-    )
-    s_tile = sorted_ops[0]
-    s_gid = sorted_ops[2]
-    zero = jnp.zeros((k,), f32)
-    rec = jnp.stack(
-        list(sorted_ops[3:]) + [zero] * (REC_ROWS - 9), axis=0
-    )  # (16, K)
+    )  # (P, REC_ROWS)
+    rec = jnp.where(
+        (s_gid < p)[None, :], prow[jnp.minimum(s_gid, p - 1)].T, 0.0
+    )  # (REC_ROWS, K)
 
     tile_ids = jnp.arange(num_tiles, dtype=jnp.int32)
     tile_start = jnp.searchsorted(s_tile, tile_ids, side="left").astype(jnp.int32)
