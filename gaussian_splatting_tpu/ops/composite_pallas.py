@@ -249,7 +249,7 @@ def _bwd_kernel(
     vt_ref, ts_ref, tp_ref, vo_ref, oy_ref,  # scalar prefetch (compact)
     rec_ref, img_ref, g_ref, gft_ref, ft_ref, nc_ref,  # inputs
     drec_ref,  # output (16, CH) at the visit's source block
-    t_s, pfx_s, nc_s, tot_s,  # scratch (TPX, 1)
+    t_s, pfx_s, nc_s, tot_s, ncmax_s,  # scratch (TPX, 1) x4 + (1, 1)
     *, grid_x: int, tile_w: int, tile_h: int,
 ):
     w = pl.program_id(0)
@@ -275,6 +275,7 @@ def _bwd_kernel(
         tot_row = jnp.sum(g2 * acc2, axis=0, keepdims=True) + gft_ref[0] * ft_ref[0]
         tot_s[...] = tot_row.reshape(tpx, 1)
         nc_s[...] = nc_ref[...].reshape(tpx, 1)
+        ncmax_s[0, 0] = jnp.max(nc_ref[...])
         t_s[...] = jnp.ones_like(t_s)
         pfx_s[...] = jnp.zeros_like(pfx_s)
 
@@ -282,7 +283,12 @@ def _bwd_kernel(
     def _():
         drec_ref[...] = jnp.zeros_like(drec_ref)
 
-    @pl.when(jnp.logical_not(v_dummy))
+    # Skip whole blocks beyond the tile's last contributing entry (the
+    # backward analog of the forward's saturation skip; the reference gets
+    # the same effect via last_contributor, backward.cu:485-490).
+    past_contrib = v_rank0.astype(_f32) >= ncmax_s[0, 0]
+
+    @pl.when(jnp.logical_and(jnp.logical_not(v_dummy), jnp.logical_not(past_contrib)))
     def _():
         geo = _chunk_geometry(
             rec_ref[...], t, v_lo, v_hi, grid_x, tile_w, tile_h, origin_y
@@ -398,7 +404,8 @@ def _bwd_call(cfg, rec, img, g_img, g_ft, ft, nc, v: Visits, origin_y):
                 (REC_ROWS, CH), _visit_block_map(nblocks), memory_space=pltpu.VMEM
             ),
         ],
-        scratch_shapes=[pltpu.VMEM((tpx, 1), _f32)] * 4,
+        scratch_shapes=[pltpu.VMEM((tpx, 1), _f32)] * 4
+        + [pltpu.SMEM((1, 1), _f32)],
     )
     (drec,) = pl.pallas_call(
         kernel,
