@@ -38,6 +38,7 @@ def training(
     port=6009,
     quiet=False,
     disable_viewer=False,
+    profile_iteration=-1,
 ):
     if not dataset.model_path:
         unique_str = os.getenv("OAR_JOB_ID") or str(uuid.uuid4())
@@ -105,8 +106,17 @@ def training(
     while trainer.iteration < opt_cfg.iterations:
         if gui is not None:
             gui.poll(trainer)
+        if profile_iteration >= 0 and trainer.iteration + 1 == profile_iteration:
+            import jax
+
+            jax.profiler.start_trace(os.path.join(dataset.model_path, "profile"))
         m = trainer.step()
         it = trainer.iteration
+        if profile_iteration >= 0 and it == profile_iteration + 5:
+            import jax
+
+            jax.profiler.stop_trace()
+            print(f"[ITER {it}] profiler trace written to {dataset.model_path}/profile")
 
         if tb_writer and it % 10 == 0:
             tb_writer.add_scalar("train_loss_patches/l1_loss", m["l1"], it)
@@ -202,6 +212,11 @@ def main(argv=None):
     parser.add_argument("--disable_viewer", action="store_true")
     parser.add_argument("--checkpoint_iterations", nargs="+", type=int, default=[])
     parser.add_argument("--start_checkpoint", type=str, default=None)
+    parser.add_argument(
+        "--profile_iteration", type=int, default=-1,
+        help="capture a jax.profiler trace of 5 steps starting here "
+             "(written to <model>/profile)",
+    )
     args = parser.parse_args(sys.argv[1:] if argv is None else argv)
     args.save_iterations.append(args.iterations)
 
@@ -225,6 +240,7 @@ def main(argv=None):
         port=args.port,
         quiet=args.quiet,
         disable_viewer=args.disable_viewer,
+        profile_iteration=args.profile_iteration,
     )
     print("\nTraining complete.")
 

@@ -150,3 +150,14 @@ def rasterize(
         "num_entries": num_entries,
     }
     return out.image, aux
+
+
+@partial(jax.jit, static_argnames=())
+def mark_visible(positions: jnp.ndarray, viewmatrix: jnp.ndarray) -> jnp.ndarray:
+    """Frustum visibility mask, the analog of GaussianRasterizer.markVisible
+    (diff_gaussian_rasterization/__init__.py:246-258 -> rasterize_points.cu:
+    218-237): camera-space z > 0.2, like the render-path cull
+    (auxiliary.h:154-171 checks z only in practice).
+    """
+    p_view = positions @ viewmatrix[:3, :3].T + viewmatrix[:3, 3]
+    return p_view[..., 2] > 0.2

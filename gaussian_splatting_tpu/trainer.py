@@ -94,6 +94,10 @@ class Trainer:
     seed: int = 0
     log_every: int = 50
     log_fn: Callable[[int, dict], None] = lambda it, m: None
+    # On a non-finite loss, dump the full input snapshot for offline repro
+    # (the analog of the reference's snapshot_fw.dump,
+    # diff_gaussian_rasterization/__init__.py:87-94) and raise.
+    debug_dump_path: str = "snapshot_step.dump"
 
     def __post_init__(self):
         self.rng = np.random.default_rng(self.seed)
@@ -169,6 +173,19 @@ class Trainer:
         m = {k: float(v) if np.ndim(v) == 0 else v for k, v in jax.device_get(metrics).items()}
         m["iteration"] = it
         self.history.append(m)
+
+        if not math.isfinite(m["loss"]):
+            params, am, av, stats, step_ = _state_to_host(self.state)
+            with open(self.debug_dump_path, "wb") as f:
+                pickle.dump(
+                    dict(iteration=it, camera_uid=camera.uid, params=params,
+                         adam_m=am, adam_v=av, stats=stats, metrics=m),
+                    f,
+                )
+            raise FloatingPointError(
+                f"non-finite loss {m['loss']} at iteration {it}; snapshot "
+                f"written to {self.debug_dump_path}"
+            )
 
         # Capacity overflow check: grow the entry budget if the tile list
         # clipped (reference reallocates its arena, rasterize_points.cu:28-36).

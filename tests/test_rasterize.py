@@ -223,3 +223,16 @@ def test_pallas_empty_scene():
     )
     np.testing.assert_allclose(np.asarray(img[..., 1]), 0.2, atol=1e-6)
     np.testing.assert_allclose(np.asarray(aux["final_t"]), 1.0, atol=1e-6)
+
+
+def test_mark_visible(scene):
+    from gaussian_splatting_tpu.ops.rasterize import mark_visible
+
+    (means, _, _, _, _), cam = scene
+    vis = mark_visible(means, jnp.asarray(cam.arrays().viewmatrix))
+    # everything the renderer found visible must pass the frustum mark
+    _, aux = _render(scene, "xla")
+    assert bool(jnp.all(jnp.where(aux["visible"], vis, True)))
+    # points far behind the camera are not marked
+    behind = means.at[:, 2].set(-100.0)
+    assert int(mark_visible(behind, jnp.asarray(cam.arrays().viewmatrix)).sum()) == 0
