@@ -29,7 +29,7 @@ def main(argv=None):
     parser.add_argument("--mipnerf360", "-m360", type=str, default=None)
     parser.add_argument("--tanksandtemples", "-tat", type=str, default=None)
     parser.add_argument("--deepblending", "-db", type=str, default=None)
-    parser.add_argument("--backend", type=str, default="xla")
+    parser.add_argument("--backend", type=str, default="auto")
     args = parser.parse_args(argv)
 
     if not args.skip_training or not args.skip_rendering:

@@ -14,7 +14,12 @@ from argparse import ArgumentParser
 
 import numpy as np
 
-from gaussian_splatting_tpu.config import ModelParams, PipelineParams, get_combined_args
+from gaussian_splatting_tpu.config import (
+    ModelParams,
+    PipelineParams,
+    get_combined_args,
+    resolve_backend,
+)
 from gaussian_splatting_tpu.ops.rasterize import RasterizerConfig
 from gaussian_splatting_tpu.scene.gaussians import GaussianParams, capacity_bucket
 from gaussian_splatting_tpu.scene.scene import Scene
@@ -96,7 +101,7 @@ def render_sets(dataset, iteration, pipe, skip_train=False, skip_test=False):
     bg = jnp.asarray([1.0, 1.0, 1.0] if dataset.white_background else [0.0, 0.0, 0.0])
     raster_cfg = RasterizerConfig(
         tile_w=pipe.tile_size, tile_h=pipe.tile_size,
-        capacity_mult=pipe.capacity_mult, backend=pipe.backend,
+        capacity_mult=pipe.capacity_mult, backend=resolve_backend(pipe.backend),
     )
     if not skip_train:
         render_set(
@@ -128,7 +133,7 @@ def main(argv=None):
         if getattr(args, f, None) is None:
             setattr(args, f, default)
     if getattr(args, "backend", None) is None:
-        args.backend = "xla"
+        args.backend = "auto"
     if getattr(args, "tile_size", None) is None:
         args.tile_size = 16
     if getattr(args, "capacity_mult", None) is None:

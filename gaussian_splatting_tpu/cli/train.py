@@ -14,6 +14,7 @@ from argparse import ArgumentParser, Namespace
 import numpy as np
 
 from gaussian_splatting_tpu.config import (
+    resolve_backend,
     ModelParams,
     OptimizationParams,
     PipelineParams,
@@ -75,7 +76,7 @@ def training(
         tile_w=pipe.tile_size,
         tile_h=pipe.tile_size,
         capacity_mult=pipe.capacity_mult,
-        backend=pipe.backend,
+        backend=resolve_backend(pipe.backend),
     )
     trainer = Trainer(
         cameras=scene.get_train_cameras(),

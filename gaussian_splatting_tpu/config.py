@@ -70,7 +70,7 @@ class PipelineParams(ParamGroup):
     convert_SHs_python: bool = False
     compute_cov3D_python: bool = False
     debug: bool = False
-    backend: str = "xla"  # "xla" | "pallas" | "reference"
+    backend: str = "auto"  # "auto" | "xla" | "pallas" | "reference"
     tile_size: int = 16
     capacity_mult: int = 8
 
@@ -139,3 +139,12 @@ def write_cfg_args(model_path: str, args: Namespace):
     os.makedirs(model_path, exist_ok=True)
     with open(os.path.join(model_path, "cfg_args"), "w") as f:
         f.write(str(Namespace(**vars(args))))
+
+
+def resolve_backend(backend: str) -> str:
+    """'auto' picks the Pallas fast path on TPU, the XLA path elsewhere."""
+    if backend != "auto":
+        return backend
+    import jax
+
+    return "pallas" if jax.default_backend() == "tpu" else "xla"
