@@ -187,16 +187,18 @@ def emit_sorted_records(
         ],
         axis=1,
     )  # (P, 8)
-    krows = kprow[gid]  # (K, 8)
+    # transposed once: contiguous row reads instead of strided column
+    # slices (each of which XLA materializes as its own pass)
+    krows = kprow[gid].T  # (8, K)
 
     slot = jnp.arange(k, dtype=jnp.int32)
     valid = slot < total
-    local = slot - krows[:, 3].astype(jnp.int32)
-    rw = jnp.maximum(krows[:, 2].astype(jnp.int32), 1)
-    tile_x = krows[:, 0].astype(jnp.int32) + local % rw
-    tile_y = krows[:, 1].astype(jnp.int32) + local // rw
+    local = slot - krows[3].astype(jnp.int32)
+    rw = jnp.maximum(krows[2].astype(jnp.int32), 1)
+    tile_x = krows[0].astype(jnp.int32) + local % rw
+    tile_y = krows[1].astype(jnp.int32) + local // rw
     tile_key = jnp.where(valid, tile_y * grid_x + tile_x, num_tiles)
-    depth_key = jnp.where(valid, krows[:, 4], jnp.inf)
+    depth_key = jnp.where(valid, krows[4], jnp.inf)
     # gid travels through the sort: it routes the record row-gather below
     # AND the hand-written VJP's per-gaussian segment_sum (padding slots
     # get the P sentinel segment, which also quarantines uninitialized

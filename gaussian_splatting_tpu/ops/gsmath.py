@@ -81,18 +81,30 @@ def build_cov3d(scales, quats, scale_modifier=1.0):
     Returns (..., 6): [xx, xy, xz, yy, yz, zz] of Sigma = M M^T,
     M = R @ diag(scale_modifier * s).
     """
-    R = quat_to_rotmat(normalize_quat(quats))
+    q = normalize_quat(quats)
+    r, x, y, z = q[..., 0], q[..., 1], q[..., 2], q[..., 3]
     s = scale_modifier * scales
-    M = R * s[..., None, :]  # R @ diag(s): scale the columns
-    sigma = jnp.einsum("...ik,...jk->...ij", M, M)
+    s0, s1, s2 = s[..., 0], s[..., 1], s[..., 2]
+    # M = R @ diag(s), written column-wise as (...,)-shaped scalars so XLA
+    # fuses the whole thing into one VPU pass (a batched (...,3,3) einsum
+    # materializes tiny-matrix intermediates in lane-padded layouts).
+    m00 = (1 - 2 * (y * y + z * z)) * s0
+    m01 = (2 * (x * y - r * z)) * s1
+    m02 = (2 * (x * z + r * y)) * s2
+    m10 = (2 * (x * y + r * z)) * s0
+    m11 = (1 - 2 * (x * x + z * z)) * s1
+    m12 = (2 * (y * z - r * x)) * s2
+    m20 = (2 * (x * z - r * y)) * s0
+    m21 = (2 * (y * z + r * x)) * s1
+    m22 = (1 - 2 * (x * x + y * y)) * s2
     return jnp.stack(
         [
-            sigma[..., 0, 0],
-            sigma[..., 0, 1],
-            sigma[..., 0, 2],
-            sigma[..., 1, 1],
-            sigma[..., 1, 2],
-            sigma[..., 2, 2],
+            m00 * m00 + m01 * m01 + m02 * m02,
+            m00 * m10 + m01 * m11 + m02 * m12,
+            m00 * m20 + m01 * m21 + m02 * m22,
+            m10 * m10 + m11 * m11 + m12 * m12,
+            m10 * m20 + m11 * m21 + m12 * m22,
+            m20 * m20 + m21 * m21 + m22 * m22,
         ],
         axis=-1,
     )
