@@ -471,12 +471,26 @@ def _render_core_bwd(cfg, res, cts):
     kcfg = (grid_x, grid_y, tile_w, tile_h, interp)
     drec = _bwd_call(kcfg, rec, img, g_img, g_ft, ft, nc, v, oy)
 
-    # Route per-entry gradients back to gaussians. Padding entries carry
-    # the P sentinel id, which also quarantines uninitialized gradient
-    # blocks of never-visited padding space into the dropped segment.
-    dcols = jax.ops.segment_sum(
-        drec[:9].T, gid, num_segments=p + 1, indices_are_sorted=False
-    )[:p]  # (P, 9)
+    # Route per-entry gradients back to gaussians. A direct segment_sum
+    # lowers to a slow TPU scatter-add (~57 ms at 4M entries); instead:
+    # group entries by gaussian with a 2-operand sort (inverting a
+    # permutation IS a sort on TPU), apply it with one row gather, and
+    # reduce the now-contiguous runs by prefix sums + boundary
+    # differences. Padding entries carry the P sentinel id, sort last,
+    # and fall outside every run — this also quarantines uninitialized
+    # gradient blocks of never-visited padding space.
+    k = gid.shape[0]
+    _, order = jax.lax.sort(
+        (gid, jnp.arange(k, dtype=jnp.int32)), num_keys=1, is_stable=True
+    )
+    dsorted = drec[:9].T[order].T  # (9, K), gaussian-contiguous runs
+    csum = jnp.cumsum(dsorted, axis=1)
+    csum = jnp.concatenate([jnp.zeros((9, 1), csum.dtype), csum], axis=1)
+    # run boundaries: entries of gaussian g occupy [ends[g]-counts[g], ends[g])
+    counts = jnp.minimum(jnp.cumsum(tiles), k)  # clipped like emission
+    ends = counts
+    starts = jnp.concatenate([jnp.zeros((1,), counts.dtype), counts[:-1]])
+    dcols = (jnp.take(csum, ends, axis=1) - jnp.take(csum, starts, axis=1)).T
     dmeans2d = dcols[:, 0:2]
     dconic = dcols[:, 2:5]
     drgb = dcols[:, 5:8]
