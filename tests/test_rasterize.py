@@ -236,3 +236,49 @@ def test_mark_visible(scene):
     # points far behind the camera are not marked
     behind = means.at[:, 2].set(-100.0)
     assert int(mark_visible(behind, jnp.asarray(cam.arrays().viewmatrix)).sum()) == 0
+
+
+def test_pallas_alive_mask_and_scale_modifier(scene):
+    (means, scales, quats, opacities, shs), cam = scene
+    cfg = RasterizerConfig(backend="pallas", capacity_mult=16, chunk=128)
+    cfg_x = RasterizerConfig(backend="xla", capacity_mult=16, chunk=128)
+    alive = jnp.arange(means.shape[0]) % 3 != 0
+    for sm in (1.0, 0.5):
+        img_p, _ = rasterize(
+            means, scales, quats, opacities, shs, 3, cam.arrays(), W, H,
+            jnp.zeros(3), cfg, scale_modifier=sm, alive=alive,
+        )
+        img_x, _ = rasterize(
+            means, scales, quats, opacities, shs, 3, cam.arrays(), W, H,
+            jnp.zeros(3), cfg_x, scale_modifier=sm, alive=alive,
+        )
+        np.testing.assert_allclose(
+            np.asarray(img_p), np.asarray(img_x), atol=2e-4, err_msg=f"sm={sm}"
+        )
+
+
+def test_pallas_odd_image_size(scene):
+    """Width/height not multiples of the tile size: correct crop, both
+    directions, forward and gradient finite."""
+    (means, scales, quats, opacities, shs), cam = scene
+    from helpers import make_camera
+
+    w, h = 61, 45
+    cam2 = make_camera(w, h)
+    cfg = RasterizerConfig(backend="pallas", capacity_mult=16, chunk=128)
+    cfg_x = RasterizerConfig(backend="xla", capacity_mult=16, chunk=128)
+    img_p, _ = rasterize(
+        means, scales, quats, opacities, shs, 3, cam2.arrays(), w, h, jnp.zeros(3), cfg
+    )
+    img_x, _ = rasterize(
+        means, scales, quats, opacities, shs, 3, cam2.arrays(), w, h, jnp.zeros(3), cfg_x
+    )
+    assert img_p.shape == (h, w, 3)
+    np.testing.assert_allclose(np.asarray(img_p), np.asarray(img_x), atol=2e-4)
+    g = jax.grad(
+        lambda m: rasterize(
+            m, scales, quats, opacities, shs, 3, cam2.arrays(), w, h,
+            jnp.zeros(3), cfg, return_aux=False,
+        ).sum()
+    )(means)
+    assert bool(jnp.isfinite(g).all())
