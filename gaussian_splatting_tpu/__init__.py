@@ -16,3 +16,10 @@ __version__ = "0.1.0"
 
 from gaussian_splatting_tpu.ops.rasterize import rasterize, RasterizerConfig  # noqa: F401
 from gaussian_splatting_tpu.scene.cameras import Camera  # noqa: F401
+from gaussian_splatting_tpu.ops.rasterize import mark_visible  # noqa: F401
+from gaussian_splatting_tpu.training import (  # noqa: F401
+    OptimizationConfig,
+    train_step,
+    eval_render,
+)
+from gaussian_splatting_tpu.trainer import Trainer  # noqa: F401
