@@ -15,12 +15,16 @@ from helpers import make_camera, make_gaussians
 W, H = 32, 24
 
 
-def test_finite_differences():
+import pytest
+
+
+@pytest.mark.parametrize("backend", ["xla", "pallas"])
+def test_finite_differences(backend):
     means, scales, quats, opacities, shs = make_gaussians(P=12, seed=5, spread=0.6)
     # keep alphas away from the min/max clamps so FD is smooth
     opacities = np.clip(opacities, 0.2, 0.8)
     cam = make_camera(W, H, dist=3.0)
-    cfg = RasterizerConfig(backend="xla", capacity_mult=32, chunk=64)
+    cfg = RasterizerConfig(backend=backend, capacity_mult=32, chunk=64)
     target = jnp.asarray(np.random.default_rng(0).uniform(size=(H, W, 3)), jnp.float32)
 
     args = tuple(map(lambda x: jnp.asarray(x, jnp.float64).astype(jnp.float32),
