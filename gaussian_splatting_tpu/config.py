@@ -67,6 +67,11 @@ class PipelineParams(ParamGroup):
 
     SHORTHAND = ()
 
+    # Accepted for reference CLI compatibility. In the reference these
+    # switch SH/cov3D evaluation from CUDA to torch (gaussian_renderer/
+    # __init__.py:79-99); here the whole pipeline is one jitted program, so
+    # there is no separate "python side" — the equivalent escape hatches
+    # are rasterize()'s colors_precomp / cov3d_precomp inputs.
     convert_SHs_python: bool = False
     compute_cov3D_python: bool = False
     debug: bool = False

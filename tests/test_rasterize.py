@@ -282,3 +282,27 @@ def test_pallas_odd_image_size(scene):
         ).sum()
     )(means)
     assert bool(jnp.isfinite(g).all())
+
+
+def test_precomp_paths_match(scene):
+    """colors_precomp / cov3d_precomp (the analogs of the reference's
+    convert_SHs_python / compute_cov3D_python escape hatches,
+    gaussian_renderer/__init__.py:79-99) must reproduce the built-in path."""
+    from gaussian_splatting_tpu.ops import gsmath
+
+    (means, scales, quats, opacities, shs), cam = scene
+    ca = cam.arrays()
+    for backend in ("xla", "pallas"):
+        cfg = RasterizerConfig(backend=backend, capacity_mult=16, chunk=128)
+        img_ref, _ = rasterize(
+            means, scales, quats, opacities, shs, 3, ca, W, H, jnp.zeros(3), cfg
+        )
+        colors = gsmath.sh_to_rgb(3, shs, means, jnp.asarray(ca.campos))
+        cov3d = gsmath.build_cov3d(scales, quats)
+        img_pre, _ = rasterize(
+            means, scales, quats, opacities, None, 3, ca, W, H, jnp.zeros(3), cfg,
+            colors_precomp=colors, cov3d_precomp=cov3d,
+        )
+        np.testing.assert_allclose(
+            np.asarray(img_pre), np.asarray(img_ref), atol=1e-5, err_msg=backend
+        )
