@@ -47,9 +47,14 @@ class RasterizerConfig:
     capacity_mult: int = 8
     chunk: int = 256
     backend: str = "xla"
+    capacity_exact: Optional[int] = None  # overrides capacity_mult when set
 
     def capacity(self, num_points: int) -> int:
-        cap = self.capacity_mult * num_points
+        cap = (
+            self.capacity_exact
+            if self.capacity_exact is not None
+            else self.capacity_mult * num_points
+        )
         return max(256, ((cap + 255) // 256) * 256)
 
 
