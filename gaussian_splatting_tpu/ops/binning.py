@@ -97,23 +97,45 @@ def build_tile_lists(
 
 # ---------------------------------------------------------------------------
 # Fast path for the Pallas compositing kernels. TPU cost model (measured
-# on v5e at 4M entries): random *element* gathers run on the scalar path
-# (~35 ms per pass), *row* gathers amortize that over the row (~22 ms for
-# (K,16)), a 3-operand lax.sort costs ~15 ms but every extra value operand
-# adds a full pass (and multi-operand sorts take minutes to COMPILE). So:
-# one small row-gather for the (tile, depth) keys, a 3-operand sort of
-# (tile, depth, gaussian id), and one row-gather of the 9 render fields by
-# the sorted ids — the opposite decomposition from the reference GPU,
-# which radix-sorts ids and gathers per entry inside the render kernel
-# (rasterizer_impl.cu:345-374).
+# on v5e at 3-4M entries): random *element* gathers run on the scalar path
+# (~35 ms per pass), *row* gathers have a flat ~15 ms cost regardless of
+# width, every lax.sort operand beyond the first adds a full pass (and
+# multi-operand sorts take minutes to COMPILE), while a P-sized scatter
+# plus a K-sized cumsum costs only ~3.5 ms. So the entry stream is built
+# the cheap way:
+#
+# 1. Per-gaussian int32 fields are expanded to per-entry values by
+#    *delta-scatter + cumsum*: scatter field DELTAS at each gaussian's
+#    first slot and prefix-sum along K. Exact in int32 (garbage values of
+#    culled gaussians telescope away), and ~2x cheaper than one row
+#    gather for the three columns needed (run offset, depth rank, packed
+#    rect geometry).
+# 2. The f32 depth sort key is replaced by a *depth rank* from one cheap
+#    P-sized sort — ranks expand exactly through the delta-cumsum, make
+#    (tile, rank) pairs unique (=> unstable sort, no tiebreak operand),
+#    and pack with the tile id into a single s32 key when the bits fit.
+# 3. Tile ranges come from a rect-corner histogram (2-D prefix sums),
+#    not searchsorted over the sorted keys. Exact because overflow drops
+#    *whole* trailing gaussians (counts zeroed when a rect doesn't fit in
+#    the remaining capacity), never a rect's tail.
+# 4. One row-gather by sorted rank fetches the 9 render fields from a
+#    rank-permuted (P, 16) table — the only K-sized gather left.
+#
+# The reference GPU does the opposite (radix-sorts ids and gathers per
+# entry inside the render kernel, rasterizer_impl.cu:345-374); gathers are
+# cheap there and sorts expensive, the mirror image of the TPU trade-off.
 # ---------------------------------------------------------------------------
 
 REC_ROWS = 16  # mx my ca cb cc r g b op + 7 zero pad rows (sublane aligned)
 
+_GEO_BITS = 10  # rect fields packed 10/10/10 => grids up to 1024x1024 tiles
+
 
 class SortedRecords(NamedTuple):
     rec: jnp.ndarray  # (REC_ROWS, K) f32, entries sorted by (tile, depth)
-    gauss_id: jnp.ndarray  # (K,) int32 source gaussian (== P sentinel for padding)
+    rank: jnp.ndarray  # (K,) int32 depth rank per entry (== P for padding)
+    order: jnp.ndarray  # (P,) int32 gaussian id per depth rank
+    counts: jnp.ndarray  # (P,) int32 emitted entries per gaussian (post-clip)
     tile_start: jnp.ndarray  # (num_tiles,) int32
     tile_stop: jnp.ndarray  # (num_tiles,) int32
     total: jnp.ndarray  # () int32 true entry count (> K => overflow)
@@ -161,58 +183,78 @@ def emit_sorted_records(
     k = capacity
     num_tiles = grid_x * grid_y
     f32 = jnp.float32
+    i32 = jnp.int32
+    if max(grid_x, grid_y) >= (1 << _GEO_BITS):
+        raise ValueError("tile grid exceeds the 10-bit rect packing")
 
-    counts = tiles_touched.astype(jnp.int32)
-    offsets = jnp.cumsum(counts) - counts
-    total = offsets[-1] + counts[-1]
+    counts_raw = tiles_touched.astype(i32)
+    raw_off = jnp.cumsum(counts_raw) - counts_raw
+    total = raw_off[-1] + counts_raw[-1]
 
-    # slot -> gaussian id via scatter + cummax (cheaper than jnp.repeat's
-    # gather-based lowering on TPU)
-    marks = jnp.zeros((k,), jnp.int32).at[offsets].max(
-        jnp.arange(p, dtype=jnp.int32) + 1, mode="drop"
+    # Overflow drops WHOLE trailing gaussians (a rect that doesn't fit in
+    # the remaining capacity emits nothing) so the rect-corner histogram
+    # below stays exact. The reference instead reallocates its arena
+    # (rasterize_points.cu:28-36); here `total` tells the host to grow the
+    # capacity bucket.
+    fits = (raw_off + counts_raw) <= k
+    counts = jnp.where(fits, counts_raw, 0)
+    offs = jnp.cumsum(counts) - counts
+    total_eff = offs[-1] + counts[-1]
+
+    # Depth rank: position of each gaussian in the (depth, id)-stable
+    # order. Ranks sort exactly like f32 depth keys (ties broken by id,
+    # matching the reference's stable radix sort) but expand exactly
+    # through the int delta-cumsum and pack into the sort key.
+    iota_p = jnp.arange(p, dtype=i32)
+    _, order = jax.lax.sort(
+        (depths.astype(f32), iota_p), num_keys=1, is_stable=True
     )
-    gid = jnp.maximum(_cummax_fill(marks), 0)
+    _, rank_of = jax.lax.sort((order, iota_p), num_keys=1, is_stable=False)
 
-    # key fields per entry: one small row gather
-    kprow = jnp.stack(
-        [
-            rect_min[:, 0].astype(f32),
-            rect_min[:, 1].astype(f32),
-            jnp.maximum(rect_max[:, 0] - rect_min[:, 0], 1).astype(f32),
-            offsets.astype(f32),  # exact below 2^24; capacities stay below
-            depths.astype(f32),
-            jnp.zeros((p,), f32),
-            jnp.zeros((p,), f32),
-            jnp.zeros((p,), f32),
-        ],
-        axis=1,
-    )  # (P, 8)
-    # transposed once: contiguous row reads instead of strided column
-    # slices (each of which XLA materializes as its own pass)
-    krows = kprow[gid].T  # (8, K)
-
-    slot = jnp.arange(k, dtype=jnp.int32)
-    valid = slot < total
-    local = slot - krows[3].astype(jnp.int32)
-    rw = jnp.maximum(krows[2].astype(jnp.int32), 1)
-    tile_x = krows[0].astype(jnp.int32) + local % rw
-    tile_y = krows[1].astype(jnp.int32) + local // rw
-    tile_key = jnp.where(valid, tile_y * grid_x + tile_x, num_tiles)
-    depth_key = jnp.where(valid, krows[4], jnp.inf)
-    # gid travels through the sort: it routes the record row-gather below
-    # AND the hand-written VJP's per-gaussian segment_sum (padding slots
-    # get the P sentinel segment, which also quarantines uninitialized
-    # gradient blocks of never-visited padding space).
-    gid_key = jnp.where(valid, gid, p)
-
-    s_tile, _s_depth, s_gid = jax.lax.sort(
-        (tile_key.astype(jnp.int32), depth_key, gid_key.astype(jnp.int32)),
-        num_keys=2,
-        is_stable=True,
+    rw = jnp.maximum(rect_max[:, 0] - rect_min[:, 0], 1)
+    geo = (
+        (rect_min[:, 0] << (2 * _GEO_BITS))
+        | (rect_min[:, 1] << _GEO_BITS)
+        | rw
     )
 
-    # render fields per sorted entry: one row gather + transpose to the
-    # kernel's fields-on-sublanes layout; the where() zeroes padding rows
+    def expand(col):
+        """Per-entry value of a per-gaussian i32 field via delta-scatter +
+        cumsum. Exact: deltas of skipped gaussians telescope away, and the
+        scatter-add merges colliding deltas at shared run starts."""
+        delta = col - jnp.concatenate([jnp.zeros((1,), i32), col[:-1]])
+        z = jnp.zeros((k,), i32).at[offs].add(delta, mode="drop")
+        return jnp.cumsum(z)
+
+    e_off = expand(offs)
+    e_rank = expand(rank_of)
+    e_geo = expand(geo)
+
+    slot = jnp.arange(k, dtype=i32)
+    valid = slot < total_eff
+    local = slot - e_off
+    e_rw = jnp.maximum(e_geo & ((1 << _GEO_BITS) - 1), 1)
+    e_ry = (e_geo >> _GEO_BITS) & ((1 << _GEO_BITS) - 1)
+    e_rx = (e_geo >> (2 * _GEO_BITS)) & ((1 << _GEO_BITS) - 1)
+    tile = (e_ry + local // e_rw) * grid_x + e_rx + local % e_rw
+
+    rank_bits = max((p - 1).bit_length(), 1)
+    rank_mask = (1 << rank_bits) - 1
+    pad_key = num_tiles << rank_bits  # > every real key; == for all padding
+    if (pad_key | (p - 1)) < 2**31:
+        # (tile, rank) packed into one s32: a single-operand unstable sort.
+        key = jnp.where(valid, (tile << rank_bits) | e_rank, pad_key)
+        (s_key,) = jax.lax.sort((key,), num_keys=1, is_stable=False)
+        is_pad = s_key >= pad_key
+        s_rank = jnp.where(is_pad, p, s_key & rank_mask)
+    else:
+        tile_key = jnp.where(valid, tile, num_tiles)
+        rank_key = jnp.where(valid, e_rank, p)
+        _, s_rank = jax.lax.sort((tile_key, rank_key), num_keys=2, is_stable=False)
+
+    # Render fields per sorted entry: ONE K-sized row gather from the
+    # rank-permuted table (rank doubles as the gaussian id in entry
+    # space); the where() zeroes padding rows.
     prow = jnp.stack(
         [
             means2d[:, 0].astype(f32),
@@ -228,17 +270,41 @@ def emit_sorted_records(
         + [jnp.zeros((p,), f32)] * (REC_ROWS - 9),
         axis=1,
     )  # (P, REC_ROWS)
+    prow_ranked = prow[order]  # (P, REC_ROWS), cheap P-sized row gather
     rec = jnp.where(
-        (s_gid < p)[None, :], prow[jnp.minimum(s_gid, p - 1)].T, 0.0
+        (s_rank < p)[None, :], prow_ranked[jnp.minimum(s_rank, p - 1)].T, 0.0
     )  # (REC_ROWS, K)
 
-    tile_ids = jnp.arange(num_tiles, dtype=jnp.int32)
-    tile_start = jnp.searchsorted(s_tile, tile_ids, side="left").astype(jnp.int32)
-    tile_stop = jnp.searchsorted(s_tile, tile_ids, side="right").astype(jnp.int32)
-    return SortedRecords(
-        rec=rec, gauss_id=s_gid, tile_start=tile_start, tile_stop=tile_stop,
-        total=total,
+    tile_start, tile_stop = _tile_ranges_histogram(
+        rect_min, rect_max, counts, grid_x, grid_y
     )
+    return SortedRecords(
+        rec=rec, rank=s_rank, order=order, counts=counts,
+        tile_start=tile_start, tile_stop=tile_stop, total=total,
+    )
+
+
+def _tile_ranges_histogram(rect_min, rect_max, counts, grid_x, grid_y):
+    """Per-tile [start, stop) ranges in the sorted entry list, from a 2-D
+    rect-corner histogram + prefix sums (O(P + T), no searchsorted over K).
+    Exact because every emitting gaussian contributes its whole clipped
+    rect (`counts` is the rect area or 0)."""
+    vis = counts > 0
+    x0 = jnp.where(vis, rect_min[:, 0], 0)
+    y0 = jnp.where(vis, rect_min[:, 1], 0)
+    x1 = jnp.where(vis, rect_max[:, 0], 0)
+    y1 = jnp.where(vis, rect_max[:, 1], 0)
+    one = jnp.where(vis, 1, 0)
+    grid = jnp.zeros((grid_y + 1, grid_x + 1), jnp.int32)
+    grid = grid.at[y0, x0].add(one, mode="drop")
+    grid = grid.at[y0, x1].add(-one, mode="drop")
+    grid = grid.at[y1, x0].add(-one, mode="drop")
+    grid = grid.at[y1, x1].add(one, mode="drop")
+    tcounts = jnp.cumsum(jnp.cumsum(grid, axis=0), axis=1)[:grid_y, :grid_x]
+    tcounts = tcounts.reshape(grid_y * grid_x)
+    stop = jnp.cumsum(tcounts).astype(jnp.int32)
+    start = stop - tcounts
+    return start, stop
 
 
 def build_visits(

@@ -449,23 +449,22 @@ def _render_core_fwd_impl(
     v = binning.build_visits(sr.tile_start, sr.tile_stop, capacity, num_tiles)
     kcfg = (grid_x, grid_y, tile_w, tile_h, interp)
     img, ft, nc = _fwd_call(kcfg, sr.rec, v, oy)
-    return img, ft, sr.total, sr.rec, sr.gauss_id, v, nc
+    return img, ft, sr.total, sr, v, nc
 
 
 def _render_core_fwd(
     cfg, means2d, conic, rgb, opacity, depths, rect_min, rect_max, tiles, oy
 ):
-    img, ft, total, rec, gid, v, nc = _render_core_fwd_impl(
+    img, ft, _total, sr, v, nc = _render_core_fwd_impl(
         cfg, means2d, conic, rgb, opacity, depths, rect_min, rect_max, tiles, oy
     )
     p = means2d.shape[0]
-    res = (rec, gid, v, nc, img, ft, oy, p,
-           (depths, rect_min, rect_max, tiles))
+    res = (sr.rec, sr.rank, sr.order, sr.counts, v, nc, img, ft, oy, p)
     return (img, ft), res
 
 
 def _render_core_bwd(cfg, res, cts):
-    rec, gid, v, nc, img, ft, oy, p, (depths, rect_min, rect_max, tiles) = res
+    rec, rank, gorder, gcounts, v, nc, img, ft, oy, p = res
     g_img, g_ft = cts
     grid_x, grid_y, tile_w, tile_h, interp, capacity = cfg
     kcfg = (grid_x, grid_y, tile_w, tile_h, interp)
@@ -473,34 +472,36 @@ def _render_core_bwd(cfg, res, cts):
 
     # Route per-entry gradients back to gaussians. A direct segment_sum
     # lowers to a slow TPU scatter-add (~57 ms at 4M entries); instead:
-    # group entries by gaussian with a 2-operand sort (inverting a
+    # group entries by depth rank with a 2-operand sort (inverting a
     # permutation IS a sort on TPU), apply it with one row gather, and
     # reduce the now-contiguous runs by prefix sums + boundary
-    # differences. Padding entries carry the P sentinel id, sort last,
+    # differences. Padding entries carry the P sentinel rank, sort last,
     # and fall outside every run — this also quarantines uninitialized
     # gradient blocks of never-visited padding space.
-    k = gid.shape[0]
-    _, order = jax.lax.sort(
-        (gid, jnp.arange(k, dtype=jnp.int32)), num_keys=1, is_stable=True
+    k = rank.shape[0]
+    _, ord2 = jax.lax.sort(
+        (rank, jnp.arange(k, dtype=jnp.int32)), num_keys=1, is_stable=False
     )
-    dsorted = drec[:9].T[order].T  # (9, K), gaussian-contiguous runs
+    dsorted = drec[:9].T[ord2].T  # (9, K), rank-contiguous runs
     csum = jnp.cumsum(dsorted, axis=1)
     csum = jnp.concatenate([jnp.zeros((9, 1), csum.dtype), csum], axis=1)
-    # run boundaries: entries of gaussian g occupy [ends[g]-counts[g], ends[g])
-    counts = jnp.minimum(jnp.cumsum(tiles), k)  # clipped like emission
-    ends = counts
-    starts = jnp.concatenate([jnp.zeros((1,), counts.dtype), counts[:-1]])
-    dcols = (jnp.take(csum, ends, axis=1) - jnp.take(csum, starts, axis=1)).T
+    # run boundaries: entries of depth-rank r occupy [ends[r]-cnt[r], ends[r])
+    cnt_rank = gcounts[gorder]  # (P,) emitted entries per rank
+    ends = jnp.cumsum(cnt_rank)
+    starts = ends - cnt_rank
+    dcols_rank = (jnp.take(csum, ends, axis=1) - jnp.take(csum, starts, axis=1)).T
+    # un-permute rank -> gaussian id
+    dcols = jnp.zeros_like(dcols_rank).at[gorder].set(dcols_rank)
     dmeans2d = dcols[:, 0:2]
     dconic = dcols[:, 2:5]
     drgb = dcols[:, 5:8]
     dop = dcols[:, 8]
-    f0 = lambda a: np.zeros(a.shape, jax.dtypes.float0)
+    f0 = lambda shape: np.zeros(shape, jax.dtypes.float0)
     # Blend order is piecewise constant in depth: zero gradient, like the
     # reference (depth only orders the sort; backward.cu has no d/d-depth).
     return (
-        dmeans2d, dconic, drgb, dop, jnp.zeros_like(depths),
-        f0(rect_min), f0(rect_max), f0(tiles), f0(oy),
+        dmeans2d, dconic, drgb, dop, jnp.zeros((p,), rec.dtype),
+        f0((p, 2)), f0((p, 2)), f0((p,)), f0(oy.shape),
     )
 
 
