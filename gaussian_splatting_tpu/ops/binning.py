@@ -24,7 +24,10 @@ import jax
 import jax.numpy as jnp
 
 
-CHUNK = 128  # entries per source block == Pallas lane width
+CHUNK = 128  # Pallas lane width (entries per in-kernel vector chunk)
+BLOCK = 256  # entries per source block / visit granularity (2 lane chunks
+# per grid step: halves the Mosaic grid-step overhead; the kernels scan
+# each 128-lane half separately so no roll crosses a lane-tile boundary)
 
 
 
@@ -110,14 +113,14 @@ def build_tile_lists(
 #    culled gaussians telescope away), and ~2x cheaper than one row
 #    gather for the three columns needed (run offset, depth rank, packed
 #    rect geometry).
-# 2. The f32 depth sort key is replaced by a *depth rank* from one cheap
-#    P-sized sort — ranks expand exactly through the delta-cumsum, make
-#    (tile, rank) pairs unique (=> unstable sort, no tiebreak operand),
-#    and pack with the tile id into a single s32 key when the bits fit.
-# 3. Tile ranges come from a rect-corner histogram (2-D prefix sums),
-#    not searchsorted over the sorted keys. Exact because overflow drops
-#    *whole* trailing gaussians (counts zeroed when a rect doesn't fit in
-#    the remaining capacity), never a rect's tail.
+# 2. The f32 depth key travels as its BIT PATTERN (order-isomorphic to
+#    the float for the positive depths that survive culling) so it also
+#    expands exactly through the int delta-cumsum; the (tile, depth, gid)
+#    sort runs unstable with no tiebreak operand.
+# 3. Overflow drops *whole* trailing gaussians (counts zeroed when a
+#    rect doesn't fit in the remaining capacity), never a rect's tail —
+#    so the per-gaussian `counts` array stays consistent with the entry
+#    stream for the VJP's run-boundary reductions.
 # 4. One row-gather by sorted rank fetches the 9 render fields from a
 #    rank-permuted (P, 16) table — the only K-sized gather left.
 #
@@ -133,8 +136,7 @@ _GEO_BITS = 10  # rect fields packed 10/10/10 => grids up to 1024x1024 tiles
 
 class SortedRecords(NamedTuple):
     rec: jnp.ndarray  # (REC_ROWS, K) f32, entries sorted by (tile, depth)
-    rank: jnp.ndarray  # (K,) int32 depth rank per entry (== P for padding)
-    order: jnp.ndarray  # (P,) int32 gaussian id per depth rank
+    gauss_id: jnp.ndarray  # (K,) int32 source gaussian (== P for padding)
     counts: jnp.ndarray  # (P,) int32 emitted entries per gaussian (post-clip)
     tile_start: jnp.ndarray  # (num_tiles,) int32
     tile_stop: jnp.ndarray  # (num_tiles,) int32
@@ -143,10 +145,10 @@ class SortedRecords(NamedTuple):
 
 class Visits(NamedTuple):
     """Static-shape work list for the Pallas kernels: one visit per
-    (tile, 128-entry source block) pair, tiles ascending, blocks ascending.
-    Source blocks are aligned slices of the sorted entry array; a block at
-    a tile boundary is visited once per overlapping tile with
-    complementary lane masks. Wv = K//128 + num_tiles.
+    (tile, BLOCK-entry source block) pair, tiles ascending, blocks
+    ascending. Source blocks are aligned slices of the sorted entry array;
+    a block at a tile boundary is visited once per overlapping tile with
+    complementary lane masks. Wv = K//BLOCK + num_tiles.
 
     Only `tile` is Wv-sized; everything else a visit needs (block index,
     lane bounds, first/last flags, entry rank) is derived in-kernel from
@@ -164,6 +166,23 @@ class Visits(NamedTuple):
 
 def _cummax_fill(marks: jnp.ndarray) -> jnp.ndarray:
     return jax.lax.cummax(marks) - 1
+
+
+def _cumsum_1d(x: jnp.ndarray) -> jnp.ndarray:
+    """Exact inclusive 1-D cumsum via lane-major 2-level decomposition.
+
+    XLA lowers a plain (N,) cumsum as a latency-bound multi-stage chain
+    (~14 ms at N=262k on v5e!) while cumsum along the minor axis of a
+    (rows, 128) array is a cheap reduce-window — so scan lanes per row and
+    recurse on the 128x-smaller row totals."""
+    n = x.shape[0]
+    if n < 1024 or n % 128 != 0:
+        return jnp.cumsum(x)
+    r = n // 128
+    cs = jnp.cumsum(x.reshape(r, 128), axis=1)
+    tot = cs[:, -1]
+    rowoff = _cumsum_1d(tot) - tot  # exclusive prefix of row totals
+    return (cs + rowoff[:, None]).reshape(n)
 
 
 def emit_sorted_records(
@@ -188,73 +207,91 @@ def emit_sorted_records(
         raise ValueError("tile grid exceeds the 10-bit rect packing")
 
     counts_raw = tiles_touched.astype(i32)
-    raw_off = jnp.cumsum(counts_raw) - counts_raw
-    total = raw_off[-1] + counts_raw[-1]
+    cum_raw = _cumsum_1d(counts_raw)
+    raw_off = cum_raw - counts_raw
+    total = cum_raw[-1]
 
     # Overflow drops WHOLE trailing gaussians (a rect that doesn't fit in
     # the remaining capacity emits nothing) so the rect-corner histogram
-    # below stays exact. The reference instead reallocates its arena
-    # (rasterize_points.cu:28-36); here `total` tells the host to grow the
-    # capacity bucket.
+    # below stays exact. `fits` is a prefix mask: raw_off is monotone, so
+    # once one rect overflows capacity every later one does too — which
+    # means raw_off doubles as the post-clip run offset (dropped
+    # gaussians' offsets all land in the padding region and their deltas
+    # never touch valid slots). This avoids a second P-sized cumsum
+    # (XLA lowers (P,) cumsum as a ~7 ms latency-bound 4-stage chain).
+    # The reference instead reallocates its arena (rasterize_points.cu:
+    # 28-36); here `total` tells the host to grow the capacity bucket.
     fits = (raw_off + counts_raw) <= k
     counts = jnp.where(fits, counts_raw, 0)
-    offs = jnp.cumsum(counts) - counts
-    total_eff = offs[-1] + counts[-1]
+    offs = raw_off
+    total_eff = jnp.sum(counts)
 
-    # Depth rank: position of each gaussian in the (depth, id)-stable
-    # order. Ranks sort exactly like f32 depth keys (ties broken by id,
-    # matching the reference's stable radix sort) but expand exactly
-    # through the int delta-cumsum and pack into the sort key.
+    def expand(col):
+        """Per-entry value of a per-gaussian i32 field via delta-scatter +
+        cumsum. Exact (mod 2^32): deltas of skipped gaussians telescope
+        away, the scatter-add merges colliding deltas at shared run
+        starts, and the monotone `offs` indices keep XLA on the fast
+        scatter path (random-index scatters lower to a sort-equivalent
+        ~7 ms chain)."""
+        delta = col - jnp.concatenate([jnp.zeros((1,), i32), col[:-1]])
+        z = jnp.zeros((k,), i32).at[offs].add(delta, mode="drop")
+        return jnp.cumsum(z)
+
+    # Column 1: gaussian id packed with the low bits of the run offset
+    # (local index = (slot - offs) mod 2^14 is exact because a rect covers
+    # at most num_tiles <= 2^14 tiles). Falls back to two columns when the
+    # id doesn't fit the remaining bits.
     iota_p = jnp.arange(p, dtype=i32)
-    _, order = jax.lax.sort(
-        (depths.astype(f32), iota_p), num_keys=1, is_stable=True
-    )
-    _, rank_of = jax.lax.sort((order, iota_p), num_keys=1, is_stable=False)
+    off_bits = 14
+    off_mask = (1 << off_bits) - 1
+    pack_gid = p <= (1 << (32 - off_bits))
+    if num_tiles > (1 << off_bits):
+        raise ValueError("tile grid exceeds the 14-bit local-index packing")
+    if pack_gid:
+        e_go = expand((iota_p << off_bits) | (offs & off_mask))
+        e_gid = jax.lax.shift_right_logical(e_go, off_bits)
+        e_off_low = e_go & off_mask
+    else:
+        e_gid = expand(iota_p)
+        e_off_low = expand(offs) & off_mask
 
+    # Column 2: rect geometry; column 3: f32 depth BIT PATTERN (positive
+    # floats order like their int bits, and bit-pattern deltas telescope
+    # exactly — so the sort key is bit-identical to sorting f32 depths).
     rw = jnp.maximum(rect_max[:, 0] - rect_min[:, 0], 1)
     geo = (
         (rect_min[:, 0] << (2 * _GEO_BITS))
         | (rect_min[:, 1] << _GEO_BITS)
         | rw
     )
-
-    def expand(col):
-        """Per-entry value of a per-gaussian i32 field via delta-scatter +
-        cumsum. Exact: deltas of skipped gaussians telescope away, and the
-        scatter-add merges colliding deltas at shared run starts."""
-        delta = col - jnp.concatenate([jnp.zeros((1,), i32), col[:-1]])
-        z = jnp.zeros((k,), i32).at[offs].add(delta, mode="drop")
-        return jnp.cumsum(z)
-
-    e_off = expand(offs)
-    e_rank = expand(rank_of)
     e_geo = expand(geo)
+    e_depth = expand(
+        jax.lax.bitcast_convert_type(depths.astype(f32), i32)
+    )
 
     slot = jnp.arange(k, dtype=i32)
     valid = slot < total_eff
-    local = slot - e_off
+    local = (slot - e_off_low) & off_mask
     e_rw = jnp.maximum(e_geo & ((1 << _GEO_BITS) - 1), 1)
     e_ry = (e_geo >> _GEO_BITS) & ((1 << _GEO_BITS) - 1)
     e_rx = (e_geo >> (2 * _GEO_BITS)) & ((1 << _GEO_BITS) - 1)
     tile = (e_ry + local // e_rw) * grid_x + e_rx + local % e_rw
 
-    rank_bits = max((p - 1).bit_length(), 1)
-    rank_mask = (1 << rank_bits) - 1
-    pad_key = num_tiles << rank_bits  # > every real key; == for all padding
-    if (pad_key | (p - 1)) < 2**31:
-        # (tile, rank) packed into one s32: a single-operand unstable sort.
-        key = jnp.where(valid, (tile << rank_bits) | e_rank, pad_key)
-        (s_key,) = jax.lax.sort((key,), num_keys=1, is_stable=False)
-        is_pad = s_key >= pad_key
-        s_rank = jnp.where(is_pad, p, s_key & rank_mask)
-    else:
-        tile_key = jnp.where(valid, tile, num_tiles)
-        rank_key = jnp.where(valid, e_rank, p)
-        _, s_rank = jax.lax.sort((tile_key, rank_key), num_keys=2, is_stable=False)
+    # Unstable 3-operand sort on (tile, depth-bits): pairs can tie only on
+    # exactly equal f32 depths in the same tile, where blend order is
+    # arbitrary but deterministic (the reference's stable radix sort
+    # breaks such ties by id instead).
+    tile_key = jnp.where(valid, tile, num_tiles)
+    depth_key = jnp.where(valid, e_depth, jnp.int32(0x7F7FFFFF))
+    gid_key = jnp.where(valid, e_gid, p)
+    s_tile, _, s_gid = jax.lax.sort(
+        (tile_key, depth_key, gid_key), num_keys=2, is_stable=False
+    )
 
-    # Render fields per sorted entry: ONE K-sized row gather from the
-    # rank-permuted table (rank doubles as the gaussian id in entry
-    # space); the where() zeroes padding rows.
+    # Render fields per sorted entry: ONE K-sized row gather. Padding rows
+    # carry clamped-but-finite garbage — safe, since the kernels mask
+    # every lane outside a tile's [start, stop) range and the VJP routes
+    # the padding sentinel id outside every reduction run.
     prow = jnp.stack(
         [
             means2d[:, 0].astype(f32),
@@ -270,47 +307,24 @@ def emit_sorted_records(
         + [jnp.zeros((p,), f32)] * (REC_ROWS - 9),
         axis=1,
     )  # (P, REC_ROWS)
-    prow_ranked = prow[order]  # (P, REC_ROWS), cheap P-sized row gather
-    rec = jnp.where(
-        (s_rank < p)[None, :], prow_ranked[jnp.minimum(s_rank, p - 1)].T, 0.0
-    )  # (REC_ROWS, K)
+    rec = prow[jnp.minimum(s_gid, p - 1)].T  # (REC_ROWS, K)
 
-    tile_start, tile_stop = _tile_ranges_histogram(
-        rect_min, rect_max, counts, grid_x, grid_y
-    )
+    # Per-tile ranges by binary search over the sorted tile keys (~5 ms;
+    # a rect-corner histogram was tried instead and its random-index 2-D
+    # scatters alone cost ~14 ms on v5e).
+    tile_ids = jnp.arange(num_tiles, dtype=i32)
+    tile_start = jnp.searchsorted(s_tile, tile_ids, side="left").astype(i32)
+    tile_stop = jnp.searchsorted(s_tile, tile_ids, side="right").astype(i32)
     return SortedRecords(
-        rec=rec, rank=s_rank, order=order, counts=counts,
+        rec=rec, gauss_id=s_gid, counts=counts,
         tile_start=tile_start, tile_stop=tile_stop, total=total,
     )
-
-
-def _tile_ranges_histogram(rect_min, rect_max, counts, grid_x, grid_y):
-    """Per-tile [start, stop) ranges in the sorted entry list, from a 2-D
-    rect-corner histogram + prefix sums (O(P + T), no searchsorted over K).
-    Exact because every emitting gaussian contributes its whole clipped
-    rect (`counts` is the rect area or 0)."""
-    vis = counts > 0
-    x0 = jnp.where(vis, rect_min[:, 0], 0)
-    y0 = jnp.where(vis, rect_min[:, 1], 0)
-    x1 = jnp.where(vis, rect_max[:, 0], 0)
-    y1 = jnp.where(vis, rect_max[:, 1], 0)
-    one = jnp.where(vis, 1, 0)
-    grid = jnp.zeros((grid_y + 1, grid_x + 1), jnp.int32)
-    grid = grid.at[y0, x0].add(one, mode="drop")
-    grid = grid.at[y0, x1].add(-one, mode="drop")
-    grid = grid.at[y1, x0].add(-one, mode="drop")
-    grid = grid.at[y1, x1].add(one, mode="drop")
-    tcounts = jnp.cumsum(jnp.cumsum(grid, axis=0), axis=1)[:grid_y, :grid_x]
-    tcounts = tcounts.reshape(grid_y * grid_x)
-    stop = jnp.cumsum(tcounts).astype(jnp.int32)
-    start = stop - tcounts
-    return start, stop
 
 
 def build_visits(
     tile_start: jnp.ndarray, tile_stop: jnp.ndarray, capacity: int, num_tiles: int
 ) -> Visits:
-    a = CHUNK
+    a = BLOCK
     wv = capacity // a + num_tiles
 
     count = (tile_stop - tile_start).astype(jnp.int32)

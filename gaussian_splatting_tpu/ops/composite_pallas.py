@@ -58,7 +58,9 @@ from gaussian_splatting_tpu.ops.binning import Visits
 from gaussian_splatting_tpu.ops.composite import ALPHA_MAX, ALPHA_MIN, T_EPS, CompositeOut
 from gaussian_splatting_tpu.ops.projection import PreprocessOut
 
-CH = binning.CHUNK  # 128 entries per source block (lane width)
+CH = binning.CHUNK  # 128 entries per in-kernel chunk (lane width)
+BLK = binning.BLOCK  # entries per source block / visit (CH-sized halves)
+HALVES = BLK // CH
 REC_ROWS = binning.REC_ROWS
 
 _f32 = jnp.float32
@@ -106,11 +108,11 @@ def _visit_meta(w, vt_ref, ts_ref, tp_ref, vo_ref):
     start = ts_ref[t]
     stop = tp_ref[t]
     vo = vo_ref[t]
-    b = start // CH + (w - vo)
-    lo = jnp.clip(start - b * CH, 0, CH)
-    hi = jnp.clip(stop - b * CH, 0, CH)
-    rank0 = b * CH - start
-    nblk = (stop - 1) // CH - start // CH + 1
+    b = start // BLK + (w - vo)
+    lo = jnp.clip(start - b * BLK, 0, BLK)
+    hi = jnp.clip(stop - b * BLK, 0, BLK)
+    rank0 = b * BLK - start
+    nblk = (stop - 1) // BLK - start // BLK + 1
     first = w == vo
     last = w == vo + nblk - 1
     dummy = w >= vo_ref[num_tiles]
@@ -122,7 +124,7 @@ def _visit_block_map(nblocks: int):
 
     def index_map(w, vt_ref, ts_ref, tp_ref, vo_ref, *_):
         t = vt_ref[w]
-        b = ts_ref[t] // CH + (w - vo_ref[t])
+        b = ts_ref[t] // BLK + (w - vo_ref[t])
         return (0, jnp.clip(b, 0, nblocks - 1))
 
     return index_map
@@ -171,7 +173,7 @@ def _chunk_geometry(rec, t, lo, hi, grid_x, tile_w, tile_h, origin_y):
 
 def _fwd_kernel(
     vt_ref, ts_ref, tp_ref, vo_ref, oy_ref,  # scalar prefetch (compact)
-    rec_ref,  # (16, CH) at the visit's source block
+    rec_ref,  # (16, BLK) at the visit's source block
     img_ref, ft_ref, nc_ref,  # outputs
     t_s, done_s, nc_s,  # scratch (TPX, 1)
     *, grid_x: int, tile_w: int, tile_h: int,
@@ -190,54 +192,68 @@ def _fwd_kernel(
         done_s[...] = jnp.zeros_like(done_s)
         nc_s[...] = jnp.zeros_like(nc_s)
 
-    not_saturated = jnp.logical_not(jnp.all(done_s[...] > 0.0))
-
-    @pl.when(jnp.logical_and(jnp.logical_not(v_dummy), not_saturated))
-    def _():
-        geo = _chunk_geometry(
-            rec_ref[...], t, v_lo, v_hi, grid_x, tile_w, tile_h, origin_y
-        )
-        alpha, skip = geo["alpha"], geo["skip"]
-        om = jnp.where(skip, 1.0, 1.0 - alpha)  # blend factor, 1 for skipped
-
-        cp = _lane_scan(om, jnp.multiply, 1.0)  # inclusive prefix product
-        excl = _shift_one(cp, 1.0)
-        t_carry = t_s[...]  # (TPX, 1)
-        t_entry = t_carry * excl
-        test = t_entry * om
-        bad = jnp.logical_and(jnp.logical_not(skip), test < T_EPS)
-        first_bad = jnp.min(
-            jnp.where(bad, geo["lane"], CH), axis=1, keepdims=True
-        )  # (TPX, 1)
-        badcum = geo["lane"] >= first_bad
-        done = done_s[...] > 0.0
-        include = jnp.logical_and(
-            jnp.logical_not(skip),
-            jnp.logical_and(jnp.logical_not(badcum), jnp.logical_not(done)),
+    # Each CH-lane half of the BLK-entry block is processed separately so
+    # no prefix-scan roll crosses a lane-tile boundary; the transmittance
+    # carry in scratch chains the halves (and lets half B skip once half A
+    # saturated every pixel).
+    for h in range(HALVES):
+        lo_h = jnp.clip(v_lo - h * CH, 0, CH)
+        hi_h = jnp.clip(v_hi - h * CH, 0, CH)
+        rank0_h = v_rank0 + h * CH
+        not_saturated = jnp.logical_not(jnp.all(done_s[...] > 0.0))
+        active = jnp.logical_and(
+            jnp.logical_and(jnp.logical_not(v_dummy), not_saturated),
+            hi_h > lo_h,
         )
 
-        wgt = jnp.where(include, alpha * t_entry, 0.0)  # (TPX, CH)
-        contrib = jax.lax.dot_general(
-            geo["rgb3"], wgt, (((1,), (1,)), ((), ())),
-            preferred_element_type=_f32, precision=_HI,
-        )  # (3, TPX)
-        img_ref[0] = img_ref[0] + contrib
+        @pl.when(active)
+        def _(h=h, lo_h=lo_h, hi_h=hi_h, rank0_h=rank0_h):
+            geo = _chunk_geometry(
+                rec_ref[:, h * CH:(h + 1) * CH], t, lo_h, hi_h,
+                grid_x, tile_w, tile_h, origin_y,
+            )
+            alpha, skip = geo["alpha"], geo["skip"]
+            om = jnp.where(skip, 1.0, 1.0 - alpha)  # blend factor, 1 if skipped
 
-        # T after all included entries: T is monotone decreasing over the
-        # included lanes, so the post-entry transmittance min equals the
-        # product carry (Mosaic has no reduce_prod).
-        t_s[...] = jnp.minimum(
-            jnp.min(jnp.where(include, test, jnp.inf), axis=1, keepdims=True),
-            t_carry,
-        )
-        rank = (v_rank0 + geo["lane"]).astype(_f32)
-        nc_s[...] = jnp.maximum(
-            nc_s[...],
-            jnp.max(jnp.where(include, rank + 1.0, 0.0), axis=1, keepdims=True),
-        )
-        done_s[...] = jnp.maximum(
-            done_s[...], (first_bad < CH).astype(_f32)
-        )
+            cp = _lane_scan(om, jnp.multiply, 1.0)  # inclusive prefix product
+            excl = _shift_one(cp, 1.0)
+            t_carry = t_s[...]  # (TPX, 1)
+            t_entry = t_carry * excl
+            test = t_entry * om
+            # `test` is monotone non-increasing along lanes (om <= 1, flat
+            # on skipped lanes) and the carry never drops below T_EPS, so
+            # "at or past the first early-exit entry" is just test < eps
+            # (forward.cu:452-456) — no positional min-reduce needed, and
+            # "this chunk saturated" is the last lane's test.
+            badcum = test < T_EPS
+            done = done_s[...] > 0.0
+            include = jnp.logical_and(
+                jnp.logical_not(skip),
+                jnp.logical_and(jnp.logical_not(badcum), jnp.logical_not(done)),
+            )
+
+            wgt = jnp.where(include, alpha * t_entry, 0.0)  # (TPX, CH)
+            contrib = jax.lax.dot_general(
+                geo["rgb3"], wgt, (((1,), (1,)), ((), ())),
+                preferred_element_type=_f32, precision=_HI,
+            )  # (3, TPX)
+            img_ref[0] = img_ref[0] + contrib
+
+            # T after all included entries: T is monotone decreasing over
+            # the included lanes, so the post-entry transmittance min
+            # equals the product carry (Mosaic has no reduce_prod).
+            t_s[...] = jnp.minimum(
+                jnp.min(jnp.where(include, test, jnp.inf), axis=1, keepdims=True),
+                t_carry,
+            )
+            rank = (rank0_h + geo["lane"]).astype(_f32)
+            nc_s[...] = jnp.maximum(
+                nc_s[...],
+                jnp.max(jnp.where(include, rank + 1.0, 0.0), axis=1, keepdims=True),
+            )
+            done_s[...] = jnp.maximum(
+                done_s[...], (test[:, CH - 1:CH] < T_EPS).astype(_f32)
+            )
 
     @pl.when(jnp.logical_and(v_last, jnp.logical_not(v_dummy)))
     def _():
@@ -248,7 +264,7 @@ def _fwd_kernel(
 def _bwd_kernel(
     vt_ref, ts_ref, tp_ref, vo_ref, oy_ref,  # scalar prefetch (compact)
     rec_ref, img_ref, g_ref, gft_ref, ft_ref, nc_ref,  # inputs
-    drec_ref,  # output (16, CH) at the visit's source block
+    drec_ref,  # output (16, BLK) at the visit's source block
     t_s, pfx_s, nc_s, tot_s, ncmax_s,  # scratch (TPX, 1) x4 + (1, 1)
     *, grid_x: int, tile_w: int, tile_h: int,
 ):
@@ -260,7 +276,7 @@ def _bwd_kernel(
     tpx = tile_w * tile_h
     # a new source block starts unless the previous visit wrote the same one
     t_prev = vt_ref[jnp.maximum(w - 1, 0)]
-    b_prev = ts_ref[t_prev] // CH + (w - 1 - vo_ref[t_prev])
+    b_prev = ts_ref[t_prev] // BLK + (w - 1 - vo_ref[t_prev])
     v_newblk = jnp.logical_and(
         jnp.logical_not(v_dummy), jnp.logical_or(w == 0, b != b_prev)
     )
@@ -283,63 +299,72 @@ def _bwd_kernel(
     def _():
         drec_ref[...] = jnp.zeros_like(drec_ref)
 
-    # Skip whole blocks beyond the tile's last contributing entry (the
-    # backward analog of the forward's saturation skip; the reference gets
-    # the same effect via last_contributor, backward.cu:485-490).
-    past_contrib = v_rank0.astype(_f32) >= ncmax_s[0, 0]
-
-    @pl.when(jnp.logical_and(jnp.logical_not(v_dummy), jnp.logical_not(past_contrib)))
-    def _():
-        geo = _chunk_geometry(
-            rec_ref[...], t, v_lo, v_hi, grid_x, tile_w, tile_h, origin_y
+    for h in range(HALVES):
+        lo_h = jnp.clip(v_lo - h * CH, 0, CH)
+        hi_h = jnp.clip(v_hi - h * CH, 0, CH)
+        rank0_h = v_rank0 + h * CH
+        # Skip chunks beyond the tile's last contributing entry (the
+        # backward analog of the forward's saturation skip; the reference
+        # gets the same effect via last_contributor, backward.cu:485-490).
+        past_contrib = rank0_h.astype(_f32) >= ncmax_s[0, 0]
+        active = jnp.logical_and(
+            jnp.logical_and(jnp.logical_not(v_dummy), jnp.logical_not(past_contrib)),
+            hi_h > lo_h,
         )
-        alpha, skip, g_exp = geo["alpha"], geo["skip"], geo["g"]
-        dx, dy = geo["dx"], geo["dy"]
-        ca, cb, cc = geo["ca"], geo["cb"], geo["cc"]
-        rgb3 = geo["rgb3"]
 
-        rank = (v_rank0 + geo["lane"]).astype(_f32)
-        include = jnp.logical_and(jnp.logical_not(skip), rank < nc_s[...])
-        om = jnp.where(include, 1.0 - alpha, 1.0)
+        @pl.when(active)
+        def _(h=h, lo_h=lo_h, hi_h=hi_h, rank0_h=rank0_h):
+            sl = slice(h * CH, (h + 1) * CH)
+            geo = _chunk_geometry(
+                rec_ref[:, sl], t, lo_h, hi_h, grid_x, tile_w, tile_h, origin_y
+            )
+            alpha, skip, g_exp = geo["alpha"], geo["skip"], geo["g"]
+            dx, dy = geo["dx"], geo["dy"]
+            ca, cb, cc = geo["ca"], geo["cb"], geo["cc"]
+            rgb3 = geo["rgb3"]
 
-        cp = _lane_scan(om, jnp.multiply, 1.0)
-        excl = _shift_one(cp, 1.0)
-        t_i = t_s[...] * excl  # transmittance before entry i (== forward)
-        wgt = jnp.where(include, alpha * t_i, 0.0)
+            rank = (rank0_h + geo["lane"]).astype(_f32)
+            include = jnp.logical_and(jnp.logical_not(skip), rank < nc_s[...])
+            om = jnp.where(include, 1.0 - alpha, 1.0)
 
-        g2 = g_ref[0]  # (3, TPX) image cotangent for this tile
-        cg = jax.lax.dot_general(
-            g2, rgb3, (((0,), (0,)), ((), ())),
-            preferred_element_type=_f32, precision=_HI,
-        )  # (TPX, CH) = sum_c g[c,p] * rgb[c,i]
-        cgw = cg * wgt
-        pfx_incl = _lane_scan(cgw, jnp.add, 0.0) + pfx_s[...]
-        a_i = tot_s[...] - pfx_incl  # suffix color dot g, incl final_t term
+            cp = _lane_scan(om, jnp.multiply, 1.0)
+            excl = _shift_one(cp, 1.0)
+            t_i = t_s[...] * excl  # transmittance before entry i (== forward)
+            wgt = jnp.where(include, alpha * t_i, 0.0)
 
-        dalpha = jnp.where(include, t_i * cg - a_i / om, 0.0)
-        gate = (geo["raw"] < ALPHA_MAX).astype(_f32)
-        dpower = dalpha * alpha * gate
+            g2 = g_ref[0]  # (3, TPX) image cotangent for this tile
+            cg = jax.lax.dot_general(
+                g2, rgb3, (((0,), (0,)), ((), ())),
+                preferred_element_type=_f32, precision=_HI,
+            )  # (TPX, CH) = sum_c g[c,p] * rgb[c,i]
+            cgw = cg * wgt
+            pfx_incl = _lane_scan(cgw, jnp.add, 0.0) + pfx_s[...]
+            a_i = tot_s[...] - pfx_incl  # suffix color dot g, incl final_t term
 
-        dop = jnp.sum(dalpha * g_exp * gate, axis=0, keepdims=True)  # (1, CH)
-        dca = jnp.sum(dpower * (-0.5 * dx * dx), axis=0, keepdims=True)
-        dcb = jnp.sum(dpower * (-dx * dy), axis=0, keepdims=True)
-        dcc = jnp.sum(dpower * (-0.5 * dy * dy), axis=0, keepdims=True)
-        dmx = jnp.sum(dpower * (-(ca * dx + cb * dy)), axis=0, keepdims=True)
-        dmy = jnp.sum(dpower * (-(cc * dy + cb * dx)), axis=0, keepdims=True)
-        drgb = jax.lax.dot_general(
-            g2, wgt, (((1,), (0,)), ((), ())),
-            preferred_element_type=_f32, precision=_HI,
-        )  # (3, CH)
+            dalpha = jnp.where(include, t_i * cg - a_i / om, 0.0)
+            gate = (geo["raw"] < ALPHA_MAX).astype(_f32)
+            dpower = dalpha * alpha * gate
 
-        pad = jnp.zeros((REC_ROWS - 9, CH), _f32)
-        rows = jnp.concatenate([dmx, dmy, dca, dcb, dcc, drgb, dop, pad], axis=0)
-        drec_ref[...] = drec_ref[...] + rows
+            dop = jnp.sum(dalpha * g_exp * gate, axis=0, keepdims=True)  # (1, CH)
+            dca = jnp.sum(dpower * (-0.5 * dx * dx), axis=0, keepdims=True)
+            dcb = jnp.sum(dpower * (-dx * dy), axis=0, keepdims=True)
+            dcc = jnp.sum(dpower * (-0.5 * dy * dy), axis=0, keepdims=True)
+            dmx = jnp.sum(dpower * (-(ca * dx + cb * dy)), axis=0, keepdims=True)
+            dmy = jnp.sum(dpower * (-(cc * dy + cb * dx)), axis=0, keepdims=True)
+            drgb = jax.lax.dot_general(
+                g2, wgt, (((1,), (0,)), ((), ())),
+                preferred_element_type=_f32, precision=_HI,
+            )  # (3, CH)
 
-        t_s[...] = jnp.minimum(
-            jnp.min(jnp.where(include, t_i * om, jnp.inf), axis=1, keepdims=True),
-            t_s[...],
-        )
-        pfx_s[...] = pfx_s[...] + jnp.sum(cgw, axis=1, keepdims=True)
+            pad = jnp.zeros((REC_ROWS - 9, CH), _f32)
+            rows = jnp.concatenate([dmx, dmy, dca, dcb, dcc, drgb, dop, pad], axis=0)
+            drec_ref[:, sl] = drec_ref[:, sl] + rows
+
+            t_s[...] = jnp.minimum(
+                jnp.min(jnp.where(include, t_i * om, jnp.inf), axis=1, keepdims=True),
+                t_s[...],
+            )
+            pfx_s[...] = pfx_s[...] + jnp.sum(cgw, axis=1, keepdims=True)
 
 
 def _fwd_call(cfg, rec, v: Visits, origin_y):
@@ -349,13 +374,13 @@ def _fwd_call(cfg, rec, v: Visits, origin_y):
     wv = v.tile.shape[0]
 
     kernel = partial(_fwd_kernel, grid_x=grid_x, tile_w=tile_w, tile_h=tile_h)
-    nblocks = rec.shape[1] // CH
+    nblocks = rec.shape[1] // BLK
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=5,
         grid=(wv,),
         in_specs=[
             pl.BlockSpec(
-                (REC_ROWS, CH), _visit_block_map(nblocks), memory_space=pltpu.VMEM
+                (REC_ROWS, BLK), _visit_block_map(nblocks), memory_space=pltpu.VMEM
             )
         ],
         out_specs=[
@@ -385,13 +410,13 @@ def _bwd_call(cfg, rec, img, g_img, g_ft, ft, nc, v: Visits, origin_y):
     wv = v.tile.shape[0]
 
     kernel = partial(_bwd_kernel, grid_x=grid_x, tile_w=tile_w, tile_h=tile_h)
-    nblocks = rec.shape[1] // CH
+    nblocks = rec.shape[1] // BLK
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=5,
         grid=(wv,),
         in_specs=[
             pl.BlockSpec(
-                (REC_ROWS, CH), _visit_block_map(nblocks), memory_space=pltpu.VMEM
+                (REC_ROWS, BLK), _visit_block_map(nblocks), memory_space=pltpu.VMEM
             ),
             pl.BlockSpec((1, 3, tpx), _visit_tile_map, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 3, tpx), _visit_tile_map, memory_space=pltpu.VMEM),
@@ -401,7 +426,7 @@ def _bwd_call(cfg, rec, img, g_img, g_ft, ft, nc, v: Visits, origin_y):
         ],
         out_specs=[
             pl.BlockSpec(
-                (REC_ROWS, CH), _visit_block_map(nblocks), memory_space=pltpu.VMEM
+                (REC_ROWS, BLK), _visit_block_map(nblocks), memory_space=pltpu.VMEM
             ),
         ],
         scratch_shapes=[pltpu.VMEM((tpx, 1), _f32)] * 4
@@ -449,6 +474,10 @@ def _render_core_fwd_impl(
     v = binning.build_visits(sr.tile_start, sr.tile_stop, capacity, num_tiles)
     kcfg = (grid_x, grid_y, tile_w, tile_h, interp)
     img, ft, nc = _fwd_call(kcfg, sr.rec, v, oy)
+    # Tiles the kernel never visited (no entries) hold uninitialized HBM.
+    empty = sr.tile_stop == sr.tile_start
+    img = jnp.where(empty[:, None, None], 0.0, img)
+    ft = jnp.where(empty[:, None, None], 1.0, ft)
     return img, ft, sr.total, sr, v, nc
 
 
@@ -459,12 +488,12 @@ def _render_core_fwd(
         cfg, means2d, conic, rgb, opacity, depths, rect_min, rect_max, tiles, oy
     )
     p = means2d.shape[0]
-    res = (sr.rec, sr.rank, sr.order, sr.counts, v, nc, img, ft, oy, p)
+    res = (sr.rec, sr.gauss_id, sr.counts, v, nc, img, ft, oy, p)
     return (img, ft), res
 
 
 def _render_core_bwd(cfg, res, cts):
-    rec, rank, gorder, gcounts, v, nc, img, ft, oy, p = res
+    rec, gid, gcounts, v, nc, img, ft, oy, p = res
     g_img, g_ft = cts
     grid_x, grid_y, tile_w, tile_h, interp, capacity = cfg
     kcfg = (grid_x, grid_y, tile_w, tile_h, interp)
@@ -472,26 +501,23 @@ def _render_core_bwd(cfg, res, cts):
 
     # Route per-entry gradients back to gaussians. A direct segment_sum
     # lowers to a slow TPU scatter-add (~57 ms at 4M entries); instead:
-    # group entries by depth rank with a 2-operand sort (inverting a
+    # group entries by gaussian with a 2-operand sort (inverting a
     # permutation IS a sort on TPU), apply it with one row gather, and
     # reduce the now-contiguous runs by prefix sums + boundary
-    # differences. Padding entries carry the P sentinel rank, sort last,
+    # differences. Padding entries carry the P sentinel id, sort last,
     # and fall outside every run — this also quarantines uninitialized
     # gradient blocks of never-visited padding space.
-    k = rank.shape[0]
+    k = gid.shape[0]
     _, ord2 = jax.lax.sort(
-        (rank, jnp.arange(k, dtype=jnp.int32)), num_keys=1, is_stable=False
+        (gid, jnp.arange(k, dtype=jnp.int32)), num_keys=1, is_stable=False
     )
-    dsorted = drec[:9].T[ord2].T  # (9, K), rank-contiguous runs
+    dsorted = drec[:9].T[ord2].T  # (9, K), gaussian-contiguous runs
     csum = jnp.cumsum(dsorted, axis=1)
     csum = jnp.concatenate([jnp.zeros((9, 1), csum.dtype), csum], axis=1)
-    # run boundaries: entries of depth-rank r occupy [ends[r]-cnt[r], ends[r])
-    cnt_rank = gcounts[gorder]  # (P,) emitted entries per rank
-    ends = jnp.cumsum(cnt_rank)
-    starts = ends - cnt_rank
-    dcols_rank = (jnp.take(csum, ends, axis=1) - jnp.take(csum, starts, axis=1)).T
-    # un-permute rank -> gaussian id
-    dcols = jnp.zeros_like(dcols_rank).at[gorder].set(dcols_rank)
+    # run boundaries: entries of gaussian g occupy [ends[g]-cnt[g], ends[g])
+    ends = binning._cumsum_1d(gcounts)
+    starts = ends - gcounts
+    dcols = (jnp.take(csum, ends, axis=1) - jnp.take(csum, starts, axis=1)).T
     dmeans2d = dcols[:, 0:2]
     dconic = dcols[:, 2:5]
     drgb = dcols[:, 5:8]
@@ -527,7 +553,7 @@ def render_tiles_pallas(
     num_tiles = grid_x * grid_y
     tpx = tile_w * tile_h
     # keep >= one trailing unused block so dummy visits have a safe target
-    capacity = ((capacity + CH - 1) // CH) * CH + CH
+    capacity = ((capacity + BLK - 1) // BLK) * BLK + BLK
 
     cfg = (grid_x, grid_y, tile_w, tile_h, _interpret(), capacity)
     oy = jnp.asarray(origin_y, jnp.int32).reshape(1)
@@ -537,13 +563,7 @@ def render_tiles_pallas(
     )
     total = jnp.sum(prep.tiles_touched)
 
-    # Tiles the kernel never visited (no entries) hold uninitialized HBM.
     ft_tiles = ft_tiles.reshape(num_tiles, tpx)
-    counts = _tile_counts(prep, grid_x, grid_y)
-    empty = counts == 0
-    img_tiles = jnp.where(empty[:, None, None], 0.0, img_tiles)
-    ft_tiles = jnp.where(empty[:, None], 1.0, ft_tiles)
-
     img_tiles = img_tiles + ft_tiles[:, None, :] * bg[None, :, None]
     img = img_tiles.reshape(grid_y, grid_x, 3, tile_h, tile_w)
     img = img.transpose(0, 3, 1, 4, 2).reshape(grid_y * tile_h, grid_x * tile_w, 3)
@@ -551,25 +571,3 @@ def render_tiles_pallas(
     ft = ft.transpose(0, 2, 1, 3).reshape(grid_y * tile_h, grid_x * tile_w)
     out = CompositeOut(image=img[:height, :width], final_t=ft[:height, :width])
     return out, total
-
-
-def _tile_counts(prep: PreprocessOut, grid_x: int, grid_y: int) -> jnp.ndarray:
-    """Per-tile entry counts via a 2-D histogram of the (clipped) rects.
-
-    Scatter-add of +1/-1 corner marks followed by 2-D inclusive prefix
-    sums — O(P + T), no sort required. Used for the empty-tile override
-    (the kernel never writes tiles with zero entries).
-    """
-    vis = prep.tiles_touched > 0
-    x0 = jnp.where(vis, prep.rect_min[:, 0], 0)
-    y0 = jnp.where(vis, prep.rect_min[:, 1], 0)
-    x1 = jnp.where(vis, prep.rect_max[:, 0], 0)
-    y1 = jnp.where(vis, prep.rect_max[:, 1], 0)
-    one = jnp.where(vis, 1, 0)
-    grid = jnp.zeros((grid_y + 1, grid_x + 1), jnp.int32)
-    grid = grid.at[y0, x0].add(one, mode="drop")
-    grid = grid.at[y0, x1].add(-one, mode="drop")
-    grid = grid.at[y1, x0].add(-one, mode="drop")
-    grid = grid.at[y1, x1].add(one, mode="drop")
-    counts = jnp.cumsum(jnp.cumsum(grid, axis=0), axis=1)[:grid_y, :grid_x]
-    return counts.reshape(grid_y * grid_x)
