@@ -94,8 +94,6 @@ def _shift_one(x: jnp.ndarray, fill) -> jnp.ndarray:
     return jnp.where(lane >= 1, pltpu.roll(x, 1, 1), fill)
 
 
-
-
 def _visit_meta(w, vt_ref, ts_ref, tp_ref, vo_ref):
     """Derive a visit's metadata from the compact (T,)-sized range arrays.
 
@@ -135,17 +133,36 @@ def _visit_tile_map(w, vt_ref, *_):
 
 
 def _pixel_coords(t, grid_x: int, tile_w: int, tile_h: int, origin_y: int):
+    """Tile-LOCAL pixel coordinates (TPX, 1) — the splat center is shifted
+    into tile frame instead (better f32 precision than global coords, and
+    the backward's moment expansion needs small magnitudes)."""
     tpx = tile_w * tile_h
-    ox = (t % grid_x) * tile_w
-    oy = (t // grid_x) * tile_h + origin_y
+    ox = ((t % grid_x) * tile_w).astype(_f32)
+    oy = ((t // grid_x) * tile_h + origin_y).astype(_f32)
     pidx = jax.lax.broadcasted_iota(_i32, (tpx, 1), 0)
-    px = (ox + pidx % tile_w).astype(_f32)
-    py = (oy + pidx // tile_w).astype(_f32)
-    return px, py
+    pxl = (pidx % tile_w).astype(_f32)
+    pyl = (pidx // tile_w).astype(_f32)
+    return pxl, pyl, ox, oy
+
+
+def _pix6(pxl, pyl):
+    """(TPX, 6) pixel-monomial matrix [1, px, py, px^2, py^2, px*py] in
+    tile-local coordinates — shared by the forward's separable power
+    matmul and the backward's gradient moment matmul."""
+    return jnp.concatenate(
+        [jnp.ones_like(pxl), pxl, pyl, pxl * pxl, pyl * pyl, pxl * pyl],
+        axis=1,
+    )
 
 
 def _chunk_geometry(rec, t, lo, hi, grid_x, tile_w, tile_h, origin_y):
-    """Shared forward-recompute: per-(pixel, entry) alpha and masks."""
+    """Shared forward-recompute: per-(pixel, entry) alpha and masks.
+
+    (A separable power-as-MXU-matmul variant — power[p,e] = pix6[p].w[e]
+    — was tried and measured ~9 ms SLOWER per kernel pass than these
+    elementwise VPU ops; the small contraction dim doesn't pay for the
+    operand staging.)
+    """
     mx, my = rec[0:1, :], rec[1:2, :]
     ca, cb, cc = rec[2:3, :], rec[3:4, :], rec[4:5, :]
     rgb3 = rec[5:8, :]  # (3, CH)
@@ -154,9 +171,11 @@ def _chunk_geometry(rec, t, lo, hi, grid_x, tile_w, tile_h, origin_y):
     lane = jax.lax.broadcasted_iota(_i32, (1, CH), 1)
     in_range = jnp.logical_and(lane >= lo, lane < hi)
 
-    px, py = _pixel_coords(t, grid_x, tile_w, tile_h, origin_y)
-    dx = mx - px  # (TPX, CH)
-    dy = my - py
+    pxl, pyl, ox, oy = _pixel_coords(t, grid_x, tile_w, tile_h, origin_y)
+    mxl = mx - ox  # (1, CH) splat center in tile frame
+    myl = my - oy
+    dx = mxl - pxl  # (TPX, CH)
+    dy = myl - pyl
     power = -0.5 * (ca * dx * dx + cc * dy * dy) - cb * dx * dy
     g = jnp.exp(power)
     raw = op * g
@@ -166,7 +185,8 @@ def _chunk_geometry(rec, t, lo, hi, grid_x, tile_w, tile_h, origin_y):
         jnp.logical_not(in_range),
     )
     return dict(
-        dx=dx, dy=dy, ca=ca, cb=cb, cc=cc, rgb3=rgb3,
+        ca=ca, cb=cb, cc=cc, rgb3=rgb3, op=op,
+        mxl=mxl, myl=myl, pxl=pxl, pyl=pyl,
         g=g, raw=raw, alpha=alpha, skip=skip, lane=lane,
     )
 
@@ -318,9 +338,10 @@ def _bwd_kernel(
             geo = _chunk_geometry(
                 rec_ref[:, sl], t, lo_h, hi_h, grid_x, tile_w, tile_h, origin_y
             )
-            alpha, skip, g_exp = geo["alpha"], geo["skip"], geo["g"]
-            dx, dy = geo["dx"], geo["dy"]
+            alpha, skip = geo["alpha"], geo["skip"]
             ca, cb, cc = geo["ca"], geo["cb"], geo["cc"]
+            mxl, myl = geo["mxl"], geo["myl"]
+            pxl, pyl = geo["pxl"], geo["pyl"]
             rgb3 = geo["rgb3"]
 
             rank = (rank0_h + geo["lane"]).astype(_f32)
@@ -345,12 +366,23 @@ def _bwd_kernel(
             gate = (geo["raw"] < ALPHA_MAX).astype(_f32)
             dpower = dalpha * alpha * gate
 
-            dop = jnp.sum(dalpha * g_exp * gate, axis=0, keepdims=True)  # (1, CH)
-            dca = jnp.sum(dpower * (-0.5 * dx * dx), axis=0, keepdims=True)
-            dcb = jnp.sum(dpower * (-dx * dy), axis=0, keepdims=True)
-            dcc = jnp.sum(dpower * (-0.5 * dy * dy), axis=0, keepdims=True)
-            dmx = jnp.sum(dpower * (-(ca * dx + cb * dy)), axis=0, keepdims=True)
-            dmy = jnp.sum(dpower * (-(cc * dy + cb * dx)), axis=0, keepdims=True)
+            # All pixel-axis reductions as ONE moment matmul on the MXU:
+            # dx = mxl - pxl is separable, so d{conic, mean2d} are linear
+            # combinations of S_k = sum_p dpower * {1, px, py, px^2, py^2,
+            # px*py}, and dop = S0 / op exactly (dpower = dalpha*op*g*gate).
+            # Tile-local coords keep the expansion's cancellation benign.
+            s_mom = jax.lax.dot_general(
+                _pix6(pxl, pyl), dpower, (((0,), (0,)), ((), ())),
+                preferred_element_type=_f32, precision=_HI,
+            )  # (6, CH)
+            s0, s1x, s1y = s_mom[0:1], s_mom[1:2], s_mom[2:3]
+            s2x, s2y, sxy = s_mom[3:4], s_mom[4:5], s_mom[5:6]
+            dop = s0 / jnp.maximum(geo["op"], 1e-8)  # op >= 1/255 if included
+            dca = -0.5 * (mxl * mxl * s0 - 2.0 * mxl * s1x + s2x)
+            dcb = -(mxl * myl * s0 - mxl * s1y - myl * s1x + sxy)
+            dcc = -0.5 * (myl * myl * s0 - 2.0 * myl * s1y + s2y)
+            dmx = -(ca * (mxl * s0 - s1x) + cb * (myl * s0 - s1y))
+            dmy = -(cc * (myl * s0 - s1y) + cb * (mxl * s0 - s1x))
             drgb = jax.lax.dot_general(
                 g2, wgt, (((1,), (0,)), ((), ())),
                 preferred_element_type=_f32, precision=_HI,
@@ -511,13 +543,19 @@ def _render_core_bwd(cfg, res, cts):
     _, ord2 = jax.lax.sort(
         (gid, jnp.arange(k, dtype=jnp.int32)), num_keys=1, is_stable=False
     )
-    dsorted = drec[:9].T[ord2].T  # (9, K), gaussian-contiguous runs
-    csum = jnp.cumsum(dsorted, axis=1)
-    csum = jnp.concatenate([jnp.zeros((9, 1), csum.dtype), csum], axis=1)
+    # (XLA insists on a {0,1}-layout gather here — each row strided
+    # across lane tiles, ~37 ms. Attempts to pin {1,0} via
+    # optimization_barrier or Pallas-custom-call layout sandwiches all
+    # failed: layout assignment adds copies on both sides instead.)
+    dsorted = drec.T[ord2].T[:9]  # (9, K), gaussian-contiguous runs
+    csum = jnp.cumsum(dsorted, axis=1)  # lane-axis scan
+    csum_rows = jnp.concatenate(
+        [jnp.zeros((1, 9), jnp.float32), csum.T], axis=0
+    )  # (K+1, 9)
     # run boundaries: entries of gaussian g occupy [ends[g]-cnt[g], ends[g])
     ends = binning._cumsum_1d(gcounts)
     starts = ends - gcounts
-    dcols = (jnp.take(csum, ends, axis=1) - jnp.take(csum, starts, axis=1)).T
+    dcols = csum_rows[ends] - csum_rows[starts]
     dmeans2d = dcols[:, 0:2]
     dconic = dcols[:, 2:5]
     drgb = dcols[:, 5:8]

@@ -36,35 +36,47 @@ def psnr(pred, gt):
 
 
 @functools.lru_cache(maxsize=None)
-def _gaussian_window(window_size: int, sigma: float) -> np.ndarray:
+def _gaussian_1d(window_size: int, sigma: float) -> np.ndarray:
     xs = np.arange(window_size) - window_size // 2
     g = np.exp(-(xs**2) / (2.0 * sigma**2))
-    g = (g / g.sum()).astype(np.float32)
-    return np.outer(g, g)
+    return (g / g.sum()).astype(np.float32)
 
 
-def _depthwise_conv_same(img, window):
-    """img (H, W, C), window (k, k) -> same-padded depthwise conv."""
-    C = img.shape[-1]
-    k = window.shape[0]
-    lhs = img.transpose(2, 0, 1)[None]  # (1, C, H, W)
-    rhs = jnp.broadcast_to(jnp.asarray(window), (C, 1, k, k))
-    out = jax.lax.conv_general_dilated(
-        lhs,
-        rhs,
-        window_strides=(1, 1),
-        padding=[(k // 2, k // 2), (k // 2, k // 2)],
-        feature_group_count=C,
-        dimension_numbers=("NCHW", "OIHW", "NCHW"),
-        precision=jax.lax.Precision.HIGHEST,
-    )
-    return out[0].transpose(1, 2, 0)
+@functools.lru_cache(maxsize=None)
+def _band_matrix(n: int, window_size: int, sigma: float) -> np.ndarray:
+    """(n, n) banded matrix B with B[u, v] = g[v - u + r]: `x @ B` is the
+    zero-padded 'same' 1-D Gaussian convolution along x's last axis."""
+    g = _gaussian_1d(window_size, sigma)
+    r = window_size // 2
+    m = np.zeros((n, n), np.float32)
+    for i, w in enumerate(g):
+        off = i - r
+        u = np.arange(max(0, -off), min(n, n - off))
+        m[u, u + off] += w
+    return m
+
+
+def _depthwise_conv_same(img, window_size: int, sigma: float):
+    """img (H, W, C) -> same-padded depthwise 2-D Gaussian conv.
+
+    The reference's 11x11 window (loss_utils.py:23-31) is the outer
+    product of a 1-D Gaussian, so the conv separates into a row pass and
+    a column pass. Each pass runs as a dense banded MATMUL on the MXU —
+    175x more MACs than an 11-tap stencil but ~60x faster on TPU than
+    the depthwise `conv_general_dilated` lowering (which costs ~21 ms
+    per conv at 1080p in a T(1,128) layout)."""
+    H, W, C = img.shape[-3], img.shape[-2], img.shape[-1]
+    bw = jnp.asarray(_band_matrix(W, window_size, sigma))
+    bh = jnp.asarray(_band_matrix(H, window_size, sigma))
+    hi = jax.lax.Precision.HIGHEST
+    x = jnp.einsum("...hwc,wv->...hvc", img, bw, precision=hi)
+    x = jnp.einsum("...hwc,hu->...uwc", x, bh, precision=hi)
+    return x
 
 
 def ssim(img1, img2, window_size: int = 11, sigma: float = 1.5):
     """Mean SSIM matching utils/loss_utils.py:33-63 (zero-padded window)."""
-    window = _gaussian_window(window_size, sigma)
-    conv = lambda x: _depthwise_conv_same(x, window)
+    conv = lambda x: _depthwise_conv_same(x, window_size, sigma)
 
     mu1 = conv(img1)
     mu2 = conv(img2)
