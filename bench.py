@@ -4,7 +4,10 @@ Baseline: the reference claims >= 30 fps at 1080p on a contemporary GPU
 (README.md:14). vs_baseline = fps / 30.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
-Tunables via env: GS_BENCH_P (Gaussians), GS_BENCH_W/H, GS_BENCH_BACKEND.
+Tunables via env: GS_BENCH_P (Gaussians), GS_BENCH_W/H, GS_BENCH_BACKEND,
+GS_BENCH_MODE=train (full train-step it/s instead of render fps; the
+baseline there is ~20 it/s — 30k iterations in roughly 25 of the ~32
+minutes the A6000 full_eval spends per scene, README.md:262).
 """
 
 import json
@@ -33,6 +36,7 @@ def main():
     backend = os.environ.get("GS_BENCH_BACKEND", "pallas")
     chunk = int(os.environ.get("GS_BENCH_CHUNK", 1024))
     cap_mult = int(os.environ.get("GS_BENCH_CAPMULT", 8))
+    mode = os.environ.get("GS_BENCH_MODE", "render")
 
     rng = np.random.default_rng(0)
     means = jnp.asarray(rng.normal(0, 1.0, (P, 3)), jnp.float32)
@@ -81,6 +85,11 @@ def main():
         backend=backend, capacity_exact=capacity, chunk=chunk
     )
 
+    if mode == "train":
+        _bench_train(jax, jnp, P, W, H, cfg, means, scales, quats,
+                     opacities, shs)
+        return
+
     # Timing methodology: per-dispatch host overhead through the remote-TPU
     # tunnel is ~100+ ms and execution is lazy until a value is pulled, so
     # per-call wall timing measures the tunnel, not the chip. Instead we
@@ -120,6 +129,63 @@ def main():
             }
         )
     )
+
+
+def _bench_train(jax, jnp, P, W, H, cfg, means, scales, quats, opacities, shs):
+    """Full train step (render + L1/SSIM loss + backward + masked Adam)."""
+    from functools import partial
+
+    from gaussian_splatting_tpu.scene.cameras import Camera
+    from gaussian_splatting_tpu.scene.gaussians import GaussianParams
+    from gaussian_splatting_tpu.training import (
+        OptimizationConfig, init_train_state, train_step,
+    )
+
+    rng = np.random.default_rng(1)
+    params = GaussianParams(
+        xyz=means,
+        features_dc=shs[:, :1],
+        features_rest=shs[:, 1:],
+        scaling=jnp.log(scales),
+        rotation=quats,
+        opacity=jnp.log(opacities / (1.0 - opacities))[:, None],
+    )
+    state = init_train_state(params, np.ones((P,), bool))
+    cam = jax.tree.map(jnp.asarray, Camera(
+        uid=0, colmap_id=0, R=np.eye(3), T=np.array([0.0, 0.0, 4.0]),
+        fovx=math.radians(70), fovy=math.radians(70 * H / W), image=None,
+        image_name="bench", width=W, height=H,
+    ).arrays())
+    gt = jnp.asarray(rng.uniform(size=(H, W, 3)), jnp.float32)
+    bg = jnp.zeros(3, jnp.float32)
+    step = partial(
+        train_step, sh_degree=3, active_sh_degree=3, width=W, height=H,
+        raster_cfg=cfg, opt=OptimizationConfig(), spatial_lr_scale=1.0,
+    )
+
+    n_iters = int(os.environ.get("GS_BENCH_ITERS", 10))
+
+    @jax.jit
+    def chain(s0):
+        def body(s, i):
+            s2, m = step(s, cam, gt, bg, i + 2)
+            return s2, m["loss"]
+        _, ls = jax.lax.scan(body, s0, jnp.arange(n_iters, dtype=jnp.int32))
+        return ls[-1]
+
+    float(chain(state))  # compile + warm
+    times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        float(chain(state))
+        times.append(time.perf_counter() - t0)
+    dt = min(times) / n_iters
+    print(json.dumps({
+        "metric": f"train_its_{W}x{H}_P{P}_{cfg.backend}",
+        "value": round(1.0 / dt, 3),
+        "unit": "iters/s",
+        "vs_baseline": round((1.0 / dt) / 20.0, 4),
+    }))
 
 
 if __name__ == "__main__":

@@ -111,7 +111,9 @@ def training(
             import jax
 
             jax.profiler.start_trace(os.path.join(dataset.model_path, "profile"))
-        m = trainer.step()
+        # Maintenance (densify + opacity reset) is deferred until after
+        # report/save below — reference iteration order (train.py:146-169).
+        m = trainer.step(defer_maintenance=True)
         it = trainer.iteration
         if profile_iteration >= 0 and it == profile_iteration + 5:
             import jax
@@ -138,6 +140,10 @@ def training(
             print(f"\n[ITER {it}] Saving Gaussians")
             params, _, _, _, _ = _state_to_host(trainer.state)
             scene.save(it, params)
+        # densify/reset AFTER report + PLY save, BEFORE the checkpoint —
+        # the reference's order (report :146, save :147, densify :153,
+        # checkpoint :178 in train.py).
+        trainer.post_step()
         if it in checkpoint_iterations:
             print(f"\n[ITER {it}] Saving Checkpoint")
             trainer.save_checkpoint(

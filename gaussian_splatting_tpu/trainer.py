@@ -138,7 +138,13 @@ class Trainer:
                     f"P {self.num_live} entries {m['num_entries']}"
                 )
 
-    def step(self):
+    def step(self, defer_maintenance: bool = False):
+        """One optimization step. With defer_maintenance=True the caller
+        must invoke post_step() afterwards — evaluation/saving hooks run
+        in between, BEFORE densification and opacity reset, matching the
+        reference's in-iteration order (train.py:146-169: training_report
+        and scene.save precede the densification block; evaluating after
+        an opacity reset reads a deliberately near-transparent scene)."""
         self.iteration += 1
         it = self.iteration
 
@@ -202,8 +208,14 @@ class Trainer:
                 backend=self.raster_cfg.backend,
             )
 
-        # Densification cadence (train.py:151-169)
-        if in_densify_window:
+        if not defer_maintenance:
+            self.post_step()
+        return m
+
+    def post_step(self):
+        """Densification cadence (train.py:151-169); see step()."""
+        it = self.iteration
+        if it < self.opt.densify_until_iter:
             if (
                 it > self.opt.densify_from_iter
                 and it % self.opt.densification_interval == 0
@@ -214,8 +226,6 @@ class Trainer:
                 self.white_background and it == self.opt.densify_from_iter
             ):
                 self._reset_opacity()
-
-        return m
 
     # ---- host-side density control ----
     def _densify_and_prune(self, size_threshold):

@@ -79,6 +79,35 @@ def test_training_fits_synthetic_scene():
     assert tr.num_live > 10
 
 
+def test_deferred_maintenance_order():
+    """step(defer_maintenance=True) must leave densify/opacity-reset for
+    post_step(), so evaluation and PLY saving observe the pre-reset scene
+    like the reference (train.py:146-169: report/save precede the
+    densification block; a reset drops every opacity to <= 0.01)."""
+    cams, gt_means = _make_scene(n_cams=2)
+    rng = np.random.default_rng(2)
+    pts = gt_means + rng.normal(0, 0.1, gt_means.shape).astype(np.float32)
+    colors = rng.uniform(0.2, 0.8, (pts.shape[0], 3)).astype(np.float32)
+
+    opt = OptimizationConfig(
+        densify_from_iter=10_000, opacity_reset_interval=3
+    )
+    tr = Trainer(
+        cameras=cams, opt=opt,
+        raster_cfg=RasterizerConfig(backend="xla", capacity_mult=32, chunk=128),
+        sh_degree=3, min_capacity=128,
+    )
+    tr.init_from_pcd(pts, colors)
+    tr.train(2)
+    tr.step(defer_maintenance=True)  # iteration 3 == reset interval
+    alive = np.asarray(tr.state.alive)
+    op_before = np.asarray(tr.state.params.opacity)[alive]
+    assert (1 / (1 + np.exp(-op_before)) > 0.02).any(), "reset ran too early"
+    tr.post_step()
+    op_after = np.asarray(tr.state.params.opacity)[alive]
+    assert (1 / (1 + np.exp(-op_after)) <= 0.0101).all(), "reset did not run"
+
+
 def test_checkpoint_roundtrip(tmp_path):
     cams, gt_means = _make_scene(n_cams=2)
     rng = np.random.default_rng(1)
