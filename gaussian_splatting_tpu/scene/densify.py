@@ -169,3 +169,174 @@ def reset_opacity(params: dict, adam_m: dict, adam_v: dict):
     adam_m["opacity"] = np.zeros_like(adam_m["opacity"])
     adam_v["opacity"] = np.zeros_like(adam_v["opacity"])
     return params, adam_m, adam_v
+
+
+# ---------------------------------------------------------------------------
+# Device-side densification: the same semantics as densify_and_prune above,
+# but as a jitted masked edit of the PADDED state at fixed capacity — no
+# host round-trip of the (potentially multi-GB) parameter arrays every 100
+# iterations, and the arrays can stay sharded across a device mesh. New
+# rows are scattered into dead slots (monotone indices = the fast TPU
+# scatter path); the host falls back to the numpy path only when the
+# children wouldn't fit (capacity-bucket growth). The split samples use
+# jax.random instead of the host generator — the reference's torch RNG
+# stream is not reproducible anyway.
+# ---------------------------------------------------------------------------
+
+
+def densify_and_prune_device(
+    params,  # GaussianParams (capacity-padded)
+    adam_m,
+    adam_v,
+    alive,  # (cap,) bool
+    grad_accum,  # (cap,)
+    denom,  # (cap,)
+    key,  # jax PRNG key
+    max_grad: float,
+    min_opacity: float,
+    extent: float,
+    use_size_prune: bool,
+    percent_dense: float,
+    n_split: int = 2,
+):
+    """Returns (params', m', v', alive', counts) with counts =
+    {n_cloned, n_split, n_pruned, overflow}. When counts['overflow'] is
+    nonzero the edit was SKIPPED (identity) — caller must grow capacity
+    via the host path."""
+    import jax
+    import jax.numpy as jnp
+
+    fn = _DENSIFY_JIT.get("fn")
+    if fn is None:
+        fn = jax.jit(
+            _densify_device_impl, static_argnames=("use_size_prune", "n_split")
+        )
+        _DENSIFY_JIT["fn"] = fn
+    return fn(
+        params, adam_m, adam_v, alive, grad_accum, denom, key,
+        jnp.float32(max_grad), jnp.float32(min_opacity), jnp.float32(extent),
+        jnp.float32(percent_dense), use_size_prune=use_size_prune,
+        n_split=n_split,
+    )
+
+
+_DENSIFY_JIT: dict = {}
+
+
+def _densify_device_impl(
+    params, adam_m, adam_v, alive, grad_accum, denom, key,
+    max_grad, min_opacity, extent, percent_dense,
+    use_size_prune: bool, n_split: int,
+):
+    import jax
+    import jax.numpy as jnp
+
+    from gaussian_splatting_tpu.ops import gsmath
+    from gaussian_splatting_tpu.ops.binning import _cumsum_1d
+
+    i32 = jnp.int32
+    cap = alive.shape[0]
+    iota = jnp.arange(cap, dtype=i32)
+
+    grads = jnp.where(denom > 0, grad_accum / jnp.maximum(denom, 1.0), 0.0)
+    grads = jnp.nan_to_num(grads)
+    scales = jnp.exp(params.scaling)
+    max_scale = jnp.max(scales, axis=1)
+    op_act = jax.nn.sigmoid(params.opacity[:, 0])
+
+    hot = jnp.logical_and(alive, grads >= max_grad)
+    clone = jnp.logical_and(hot, max_scale <= percent_dense * extent)
+    split = jnp.logical_and(hot, max_scale > percent_dense * extent)
+
+    # prune mask on originals (gaussian_model.py:587-594; max_radii2D is
+    # zero at this point in the reference, see module docstring)
+    prune = op_act < min_opacity
+    if use_size_prune:
+        prune = jnp.logical_or(prune, max_scale > 0.1 * extent)
+    keep_orig = jnp.logical_and(alive, jnp.logical_and(~split, ~prune))
+
+    # children that survive the same pass's prune: clones share the
+    # parent's values (same mask); split children have scales / (0.8 N)
+    clone_child = jnp.logical_and(clone, ~prune)
+    child_scales = scales / (0.8 * n_split)
+    child_prune = op_act < min_opacity
+    if use_size_prune:
+        child_prune = jnp.logical_or(
+            child_prune, jnp.max(child_scales, axis=1) > 0.1 * extent
+        )
+    split_child = jnp.logical_and(split, ~child_prune)
+
+    n_children = clone_child.astype(i32) + split_child.astype(i32) * n_split
+    ccum = _cumsum_1d(n_children)
+    child_off = ccum - n_children
+    total_children = ccum[-1]
+
+    dead = ~keep_orig
+    dcum = _cumsum_1d(dead.astype(i32))
+    dead_rank = dcum - 1  # rank among dead slots
+    free_count = dcum[-1]
+    # slot_of_rank[r] = index of the r-th dead slot (monotone scatter)
+    slot_of_rank = (
+        jnp.full((cap,), cap, i32)
+        .at[jnp.where(dead, dead_rank, cap)]
+        .set(iota, mode="drop")
+    )
+    overflow = total_children > free_count
+
+    # split sample offsets: x + R(q) @ (eps * scales) (gaussian_model.py:
+    # 500-541); rotation matrices from the (normalized) parent quaternions
+    eps = jax.random.normal(key, (n_split, cap, 3), params.xyz.dtype)
+    rot = gsmath.quat_to_rotmat(params.rotation)  # (cap, 3, 3)
+    log_child_scales = jnp.log(jnp.maximum(child_scales, 1e-30))
+
+    new_params, new_m, new_v = params, adam_m, adam_v
+    alive_new = keep_orig
+    ok = ~overflow
+
+    for j in range(n_split):
+        if j == 0:
+            active = jnp.logical_or(clone_child, split_child)
+        else:
+            active = split_child
+        rank = child_off + j
+        slot = jnp.where(
+            jnp.logical_and(active, ok),
+            slot_of_rank[jnp.minimum(rank, cap - 1)],
+            cap,
+        )
+
+        offset = jnp.einsum("pij,pj->pi", rot, eps[j] * scales)
+        xyz_j = jnp.where(
+            split_child[:, None], params.xyz + offset, params.xyz
+        )
+        scal_j = jnp.where(split_child[:, None], log_child_scales, params.scaling)
+        childvals = params._replace(xyz=xyz_j, scaling=scal_j)
+
+        new_params = jax.tree.map(
+            lambda dst, src: dst.at[slot].set(src, mode="drop"),
+            new_params, childvals,
+        )
+        new_m = jax.tree.map(
+            lambda dst: dst.at[slot].set(0.0, mode="drop"), new_m
+        )
+        new_v = jax.tree.map(
+            lambda dst: dst.at[slot].set(0.0, mode="drop"), new_v
+        )
+        alive_new = alive_new.at[slot].set(True, mode="drop")
+
+    # identity when overflowing (host path will grow the bucket)
+    sel = lambda a, b: jnp.where(overflow, a, b)
+    out_params = jax.tree.map(sel, params, new_params)
+    out_m = jax.tree.map(sel, adam_m, new_m)
+    out_v = jax.tree.map(sel, adam_v, new_v)
+    out_alive = jnp.where(overflow, alive, alive_new)
+
+    counts = {
+        "n_cloned": jnp.sum(clone.astype(i32)),
+        "n_split": jnp.sum(split.astype(i32)),
+        "n_pruned": jnp.sum(jnp.logical_and(alive, prune).astype(i32)),
+        "overflow": overflow.astype(i32),
+    }
+    return out_params, out_m, out_v, out_alive, counts
+
+

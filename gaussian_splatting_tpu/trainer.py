@@ -92,6 +92,9 @@ class Trainer:
     spatial_lr_scale: float = 1.0
     min_capacity: int = 1024
     seed: int = 0
+    # Jitted in-place densification at fixed capacity (host fallback only
+    # on capacity-bucket growth). Disable to force the numpy path.
+    device_densify: bool = True
     log_every: int = 50
     log_fn: Callable[[int, dict], None] = lambda it, m: None
     # On a non-finite loss, dump the full input snapshot for offline repro
@@ -227,8 +230,46 @@ class Trainer:
             ):
                 self._reset_opacity()
 
-    # ---- host-side density control ----
+    # ---- density control ----
     def _densify_and_prune(self, size_threshold):
+        if self.device_densify and self._densify_device(size_threshold):
+            return
+        self._densify_host(size_threshold)
+
+    def _densify_device(self, size_threshold) -> bool:
+        """Jitted masked densify at fixed capacity (no host round-trip of
+        the parameter arrays). Returns False on capacity overflow — the
+        edit was skipped and the host path must grow the bucket."""
+        key = jax.random.PRNGKey(self.seed * 1_000_003 + self.iteration)
+        params, m, v, alive, counts = densify_mod.densify_and_prune_device(
+            self.state.params,
+            self.state.adam.m,
+            self.state.adam.v,
+            self.state.alive,
+            self.state.xyz_grad_accum,
+            self.state.denom,
+            key,
+            max_grad=self.opt.densify_grad_threshold,
+            min_opacity=0.005,
+            extent=self.cameras_extent,
+            use_size_prune=size_threshold is not None,
+            percent_dense=self.opt.percent_dense,
+        )
+        if int(counts["overflow"]):
+            return False
+        # three DISTINCT zero buffers: the jitted step donates its state,
+        # and aliased leaves would be donated twice
+        self.state = self.state._replace(
+            params=params,
+            adam=self.state.adam._replace(m=m, v=v),
+            alive=alive,
+            max_radii2d=jnp.zeros_like(self.state.max_radii2d),
+            xyz_grad_accum=jnp.zeros_like(self.state.xyz_grad_accum),
+            denom=jnp.zeros_like(self.state.denom),
+        )
+        return True
+
+    def _densify_host(self, size_threshold):
         params, m, v, stats, step = _state_to_host(self.state)
         res = densify_mod.densify_and_prune(
             params,

@@ -100,3 +100,93 @@ def test_reset_opacity():
     assert (m2["opacity"] == 0).all() and (v2["opacity"] == 0).all()
     # other groups untouched
     assert (m2["xyz"] == 1).all()
+
+
+# ---------------------------------------------------------------------------
+# Device-side (jitted, fixed-capacity) densification
+# ---------------------------------------------------------------------------
+
+
+def _mk_device_state(cap=16, live=8):
+    import jax.numpy as jnp
+
+    from gaussian_splatting_tpu.scene.gaussians import GaussianParams
+
+    host = _mk_params(live, scale_log=-5.0)
+    rng = np.random.default_rng(4)
+
+    def pad(a):
+        out = np.zeros((cap,) + a.shape[1:], a.dtype)
+        out[:live] = a
+        return jnp.asarray(out)
+
+    params = GaussianParams(**{k: pad(v) for k, v in host.items()})
+    m = GaussianParams(**{k: pad(np.ones_like(v)) for k, v in host.items()})
+    v_ = GaussianParams(**{k: pad(np.ones_like(v)) for k, v in host.items()})
+    alive = jnp.asarray(np.arange(cap) < live)
+    return params, m, v_, alive
+
+
+def test_device_densify_clone_split_prune():
+    import jax
+    import jax.numpy as jnp
+
+    params, m, v, alive = _mk_device_state()
+    cap = 16
+    # idx0: clone (high grad, small scale); idx1: split (high grad, big
+    # scale); idx2: prune (low opacity); rest survive untouched.
+    params = params._replace(
+        scaling=params.scaling.at[1].set(1.0),  # exp(1) > 0.01 * extent
+        opacity=params.opacity.at[2].set(-10.0),  # sigmoid ~ 4.5e-5
+    )
+    grads = jnp.zeros((cap,)).at[0].set(1.0).at[1].set(1.0)
+    denom = jnp.ones((cap,))
+
+    p2, m2, v2, alive2, counts = densify.densify_and_prune_device(
+        params, m, v, alive, grads, denom, jax.random.PRNGKey(0),
+        max_grad=0.5, min_opacity=0.005, extent=1.0,
+        use_size_prune=False, percent_dense=0.01,
+    )
+    assert int(counts["overflow"]) == 0
+    assert int(counts["n_cloned"]) == 1
+    assert int(counts["n_split"]) == 1
+    assert int(counts["n_pruned"]) == 1
+    a2 = np.asarray(alive2)
+    # 8 - split original - pruned + clone child + 2 split children = 9
+    assert a2.sum() == 9
+
+    p2h = {k: np.asarray(x) for k, x in p2._asdict().items()}
+    # the split original and the pruned gaussian are gone (their slots may
+    # be reused by children, so check values, not indices)
+    for gone in (np.asarray(params.xyz[1]), np.asarray(params.xyz[2])):
+        assert (np.abs(p2h["xyz"][a2] - gone).max(axis=1) > 0).all()
+    xyz0 = np.asarray(params.xyz[0])
+    # exactly one new exact copy of idx0 besides the original
+    copies = (np.abs(p2h["xyz"][a2] - xyz0).max(axis=1) == 0.0).sum()
+    assert copies == 2
+    # split children: scaling = log(exp(1)/1.6), xyz != parent
+    child_rows = a2 & (np.abs(p2h["scaling"][:, 0] - (1.0 - np.log(1.6))) < 1e-5)
+    assert child_rows.sum() == 2
+    assert (np.abs(p2h["xyz"][child_rows] - np.asarray(params.xyz[1])) > 0).any()
+    # new rows have zeroed Adam moments; survivors keep theirs
+    m2h = np.asarray(m2.xyz)
+    new_rows = a2 & ~np.asarray(alive)
+    assert (m2h[new_rows] == 0).all()
+    assert (m2h[3] == 1).all()
+
+
+def test_device_densify_overflow_is_identity():
+    import jax
+    import jax.numpy as jnp
+
+    params, m, v, alive = _mk_device_state(cap=8, live=8)  # no free slots
+    grads = jnp.ones((8,))
+    denom = jnp.ones((8,))
+    p2, m2, v2, alive2, counts = densify.densify_and_prune_device(
+        params, m, v, alive, grads, denom, jax.random.PRNGKey(0),
+        max_grad=0.5, min_opacity=0.005, extent=1.0,
+        use_size_prune=False, percent_dense=0.01,
+    )
+    assert int(counts["overflow"]) == 1
+    np.testing.assert_array_equal(np.asarray(alive2), np.asarray(alive))
+    np.testing.assert_array_equal(np.asarray(p2.xyz), np.asarray(params.xyz))
