@@ -68,6 +68,7 @@ def make_sharded_train_step(
     opt: OptimizationConfig,
     spatial_lr_scale: float,
     axis: str = "gauss",
+    update_densify_stats: bool = True,
 ):
     """Build a jitted multi-device train step closed over static config.
 
@@ -180,10 +181,15 @@ def make_sharded_train_step(
         new_params, new_adam = adam_update(params_shard, grads, adam_shard, lrs, alive_shard)
 
         visible_l = prep_local.visible
-        radii_l = prep_local.radii.astype(jnp.float32)
-        max_radii2d = jnp.where(visible_l, jnp.maximum(max_radii2d, radii_l), max_radii2d)
-        accum = accum + jnp.where(visible_l, jnp.linalg.norm(bias_grad, axis=-1), 0.0)
-        denom = denom + visible_l.astype(jnp.float32)
+        if update_densify_stats:
+            radii_l = prep_local.radii.astype(jnp.float32)
+            max_radii2d = jnp.where(
+                visible_l, jnp.maximum(max_radii2d, radii_l), max_radii2d
+            )
+            accum = accum + jnp.where(
+                visible_l, jnp.linalg.norm(bias_grad, axis=-1), 0.0
+            )
+            denom = denom + visible_l.astype(jnp.float32)
 
         metrics = {
             "loss": loss,

@@ -95,6 +95,11 @@ class Trainer:
     # Jitted in-place densification at fixed capacity (host fallback only
     # on capacity-bucket growth). Disable to force the numpy path.
     device_densify: bool = True
+    # Optional jax.sharding.Mesh: parameters/optimizer rows sharded by
+    # Gaussian, tile rows by device (parallel/sharding.py). The device
+    # densify runs on the sharded state under jit; host fallbacks
+    # re-place the rebuilt state on the mesh.
+    mesh: object = None
     log_every: int = 50
     log_fn: Callable[[int, dict], None] = lambda it, m: None
     # On a non-finite loss, dump the full input snapshot for offline repro
@@ -111,12 +116,21 @@ class Trainer:
         bg = [1.0, 1.0, 1.0] if self.white_background else [0.0, 0.0, 0.0]
         self.background = jnp.asarray(bg, jnp.float32)
         self.history: List[dict] = []
+        self._sharded_steps = {}
+
+    def _place(self, state: TrainState) -> TrainState:
+        """Put a (re)built state on the mesh, if any."""
+        if self.mesh is None:
+            return state
+        from gaussian_splatting_tpu.parallel import sharding
+
+        return sharding.shard_train_state(state, self.mesh)
 
     # ---- setup ----
     def init_from_pcd(self, points: np.ndarray, colors: np.ndarray):
         cap = capacity_bucket(points.shape[0], self.min_capacity)
         params, alive = create_from_pcd(points, colors, self.sh_degree, capacity=cap)
-        self.state = init_train_state(params, alive)
+        self.state = self._place(init_train_state(params, alive))
 
     def _pop_camera(self) -> Camera:
         if not self.py_rng_stack:
@@ -164,21 +178,30 @@ class Trainer:
         gt = jnp.asarray(camera.image.transpose(1, 2, 0), jnp.float32)
 
         in_densify_window = it < self.opt.densify_until_iter
-        self.state, metrics = train_step(
-            self.state,
-            jax.tree.map(jnp.asarray, camera.arrays()),
-            gt,
-            bg,
-            jnp.asarray(it, jnp.int32),
-            sh_degree=self.sh_degree,
-            active_sh_degree=self.active_sh_degree,
-            width=camera.width,
-            height=camera.height,
-            raster_cfg=self.raster_cfg,
-            opt=self.opt,
-            spatial_lr_scale=self.spatial_lr_scale,
-            update_densify_stats=in_densify_window,
-        )
+        cam_arrays = jax.tree.map(jnp.asarray, camera.arrays())
+        if self.mesh is None:
+            self.state, metrics = train_step(
+                self.state,
+                cam_arrays,
+                gt,
+                bg,
+                jnp.asarray(it, jnp.int32),
+                sh_degree=self.sh_degree,
+                active_sh_degree=self.active_sh_degree,
+                width=camera.width,
+                height=camera.height,
+                raster_cfg=self.raster_cfg,
+                opt=self.opt,
+                spatial_lr_scale=self.spatial_lr_scale,
+                update_densify_stats=in_densify_window,
+            )
+        else:
+            step_fn = self._sharded_step(
+                camera.width, camera.height, in_densify_window
+            )
+            self.state, metrics = step_fn(
+                self.state, cam_arrays, gt, bg, jnp.asarray(it, jnp.int32)
+            )
         m = {k: float(v) if np.ndim(v) == 0 else v for k, v in jax.device_get(metrics).items()}
         m["iteration"] = it
         self.history.append(m)
@@ -229,6 +252,20 @@ class Trainer:
                 self.white_background and it == self.opt.densify_from_iter
             ):
                 self._reset_opacity()
+
+    def _sharded_step(self, width: int, height: int, densify_stats: bool):
+        from gaussian_splatting_tpu.parallel import sharding
+
+        key = (self.active_sh_degree, width, height, self.raster_cfg, densify_stats)
+        fn = self._sharded_steps.get(key)
+        if fn is None:
+            fn = sharding.make_sharded_train_step(
+                self.mesh, self.sh_degree, self.active_sh_degree,
+                width, height, self.raster_cfg, self.opt,
+                self.spatial_lr_scale, update_densify_stats=densify_stats,
+            )
+            self._sharded_steps[key] = fn
+        return fn
 
     # ---- density control ----
     def _densify_and_prune(self, size_threshold):
@@ -286,15 +323,17 @@ class Trainer:
             rng=self.rng,
         )
         old_cap = self.state.params.xyz.shape[0]
-        self.state = _state_from_host(
+        self.state = self._place(_state_from_host(
             res.params, res.adam_m, res.adam_v, step, old_cap, self.min_capacity
-        )
+        ))
 
     def _reset_opacity(self):
         params, m, v, stats, step = _state_to_host(self.state)
         params, m, v = densify_mod.reset_opacity(params, m, v)
         old_cap = self.state.params.xyz.shape[0]
-        new_state = _state_from_host(params, m, v, step, old_cap, self.min_capacity)
+        new_state = self._place(
+            _state_from_host(params, m, v, step, old_cap, self.min_capacity)
+        )
         # opacity reset keeps densification stats (only densify resets them)
         n = params["xyz"].shape[0]
         self.state = new_state._replace(
@@ -329,14 +368,14 @@ class Trainer:
         self.sh_degree = payload["sh_degree"]
         self.spatial_lr_scale = payload["spatial_lr_scale"]
         self.cameras_extent = payload["cameras_extent"]
-        self.state = _state_from_host(
+        self.state = self._place(_state_from_host(
             payload["params"],
             payload["adam_m"],
             payload["adam_v"],
             payload["adam_step"],
             0,
             self.min_capacity,
-        )
+        ))
         n = payload["params"]["xyz"].shape[0]
         st = payload["stats"]
         self.state = self.state._replace(

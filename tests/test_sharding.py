@@ -134,3 +134,46 @@ def test_sharded_step_pallas_backend():
         losses.append(float(m["loss"]))
     assert all(np.isfinite(l) for l in losses)
     assert losses[-1] <= losses[0]
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_trainer_multidevice_with_densify():
+    """Trainer(mesh=...) trains end to end on a virtual mesh, including a
+    device-side densification and an opacity reset on the sharded state."""
+    from gaussian_splatting_tpu.trainer import Trainer
+
+    rng = np.random.default_rng(3)
+    from helpers import make_gaussians
+
+    means, scales, quats, opacities, shs = make_gaussians(P=48, seed=3, spread=0.8)
+    cfg = RasterizerConfig(backend="xla", capacity_mult=16, chunk=128)
+    cams = []
+    for i in range(2):
+        cam = make_camera(W, H, dist=4.0, angle=i * 3.14)
+        img, _ = __import__("gaussian_splatting_tpu.ops.rasterize", fromlist=["rasterize"]).rasterize(
+            jnp.asarray(means), jnp.asarray(scales), jnp.asarray(quats),
+            jnp.asarray(opacities), jnp.asarray(shs), 3, cam.arrays(), W, H,
+            jnp.zeros(3), cfg,
+        )
+        cam.image = np.clip(np.asarray(img), 0, 1).transpose(2, 0, 1)
+        cams.append(cam)
+
+    opt = OptimizationConfig(
+        iterations=30, densify_from_iter=5, densification_interval=10,
+        densify_until_iter=25, opacity_reset_interval=20,
+        feature_lr=0.02, opacity_lr=0.05,
+    )
+    tr = Trainer(
+        cameras=cams, opt=opt, raster_cfg=cfg, sh_degree=3,
+        min_capacity=128, mesh=sharding.make_mesh(8),
+        cameras_extent=4.0, spatial_lr_scale=4.0,
+    )
+    pts = means + rng.normal(0, 0.1, means.shape).astype(np.float32)
+    cols = rng.uniform(0.2, 0.8, (pts.shape[0], 3)).astype(np.float32)
+    tr.init_from_pcd(pts, cols)
+    tr.train(30)
+    assert tr.iteration == 30
+    assert np.isfinite(tr.history[-1]["loss"])
+    assert tr.num_live > 10
+    # state still sharded over the mesh
+    assert len(tr.state.params.xyz.sharding.device_set) == 8
