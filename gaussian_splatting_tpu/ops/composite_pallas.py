@@ -11,7 +11,7 @@ Design (TPU-first, not a CUDA translation):
   TPU run on the scalar path (~35 ms per 5M-element gather on v5e) while
   lax.sort is bandwidth-friendly — the opposite trade-off from the
   reference GPU, whose rasterizer sorts ids and gathers per entry.
-- The grid walks (tile, 128-entry source block) visit pairs, tiles
+- The grid walks (tile, 256-entry source block) visit pairs, tiles
   ascending, blocks ascending (binning.build_visits). A source block at a
   tile boundary is visited once per overlapping tile with complementary
   lane masks — no re-layout/alignment pass is needed. All visits of one
@@ -19,7 +19,8 @@ Design (TPU-first, not a CUDA translation):
   standard Pallas revisit-reduction pattern); Pallas double-buffers the
   record stream.
 - Inside a visit, pixels live on sublanes (16x16 tile = 256) and entries
-  on lanes (128). The sequential front-to-back compositing order becomes
+  on lanes, processed as two 128-lane halves so no prefix-scan roll
+  crosses a lane tile. The sequential front-to-back compositing order becomes
   a lane-axis *cumulative product* of (1 - alpha) in linear space (TPU
   early exit guarantees T >= 1e-4, so no log-space reconstruction is
   needed) — the whole-chip analog of the warp-sequential blend loop at
