@@ -60,3 +60,19 @@ def test_train_render_metrics(scene_dir, tmp_path):
     m = results["ours_20"]
     assert 0.0 < m["SSIM"] <= 1.0
     assert m["PSNR"] > 5.0
+
+
+def test_full_eval_arg_validation():
+    """full_eval mirrors the reference CLI surface (full_eval.py:15-75):
+    dataset paths are required unless every stage that needs them is
+    skipped, and the all-skipped invocation is a no-op."""
+    import pytest
+
+    from gaussian_splatting_tpu.cli import full_eval
+
+    full_eval.main([
+        "--skip_training", "--skip_rendering", "--skip_metrics",
+        "--output_path", "/tmp/nonexistent_eval",
+    ])
+    with pytest.raises(SystemExit):
+        full_eval.main(["--output_path", "/tmp/nonexistent_eval"])
