@@ -27,9 +27,10 @@ Design (TPU-first, not a CUDA translation):
   forward.cu:437-463. Channel contractions use the MXU at HIGHEST
   precision.
 - Early termination (T < 1e-4, forward.cu:452-456) is reproduced exactly
-  via masks; per-pixel `n_contrib` (rank of the last contributing entry)
-  and final transmittance are the only residuals the backward needs,
-  matching the reference's memory-light backward (rasterizer_impl.h:50-57).
+  via masks; per-pixel final transmittance is the only image-space
+  residual the backward needs — even lighter than the reference's
+  final_T + n_contrib (rasterizer_impl.h:50-57), because the backward
+  REPLAYS the forward's early-exit decisions bit-exactly.
 - The backward walks visits in the SAME forward order (not back-to-front
   like backward.cu:408): the suffix color term S_i of backward.cu:549 is
   rewritten as TOTAL - prefix_i, where TOTAL = sum_c g_c * acc_c +
@@ -195,8 +196,8 @@ def _chunk_geometry(rec, t, lo, hi, grid_x, tile_w, tile_h, origin_y):
 def _fwd_kernel(
     vt_ref, ts_ref, tp_ref, vo_ref, oy_ref,  # scalar prefetch (compact)
     rec_ref,  # (16, BLK) at the visit's source block
-    img_ref, ft_ref, nc_ref,  # outputs
-    t_s, done_s, nc_s,  # scratch (TPX, 1)
+    img_ref, ft_ref,  # outputs
+    t_s, done_s,  # scratch (TPX, 1)
     *, grid_x: int, tile_w: int, tile_h: int,
 ):
     w = pl.program_id(0)
@@ -211,7 +212,6 @@ def _fwd_kernel(
         img_ref[...] = jnp.zeros_like(img_ref)
         t_s[...] = jnp.ones_like(t_s)
         done_s[...] = jnp.zeros_like(done_s)
-        nc_s[...] = jnp.zeros_like(nc_s)
 
     # Each CH-lane half of the BLK-entry block is processed separately so
     # no prefix-scan roll crosses a lane-tile boundary; the transmittance
@@ -267,11 +267,6 @@ def _fwd_kernel(
                 jnp.min(jnp.where(include, test, jnp.inf), axis=1, keepdims=True),
                 t_carry,
             )
-            rank = (rank0_h + geo["lane"]).astype(_f32)
-            nc_s[...] = jnp.maximum(
-                nc_s[...],
-                jnp.max(jnp.where(include, rank + 1.0, 0.0), axis=1, keepdims=True),
-            )
             done_s[...] = jnp.maximum(
                 done_s[...], (test[:, CH - 1:CH] < T_EPS).astype(_f32)
             )
@@ -279,14 +274,13 @@ def _fwd_kernel(
     @pl.when(jnp.logical_and(v_last, jnp.logical_not(v_dummy)))
     def _():
         ft_ref[...] = t_s[...].reshape(1, 1, tpx)
-        nc_ref[...] = nc_s[...].reshape(1, 1, tpx)
 
 
 def _bwd_kernel(
     vt_ref, ts_ref, tp_ref, vo_ref, oy_ref,  # scalar prefetch (compact)
-    rec_ref, img_ref, g_ref, gft_ref, ft_ref, nc_ref,  # inputs
+    rec_ref, img_ref, g_ref, gft_ref, ft_ref,  # inputs
     drec_ref,  # output (16, BLK) at the visit's source block
-    t_s, pfx_s, nc_s, tot_s, ncmax_s,  # scratch (TPX, 1) x4 + (1, 1)
+    t_s, pfx_s, done_s, tot_s,  # scratch (TPX, 1) x4
     *, grid_x: int, tile_w: int, tile_h: int,
 ):
     w = pl.program_id(0)
@@ -311,9 +305,8 @@ def _bwd_kernel(
         acc2 = img_ref[0]
         tot_row = jnp.sum(g2 * acc2, axis=0, keepdims=True) + gft_ref[0] * ft_ref[0]
         tot_s[...] = tot_row.reshape(tpx, 1)
-        nc_s[...] = nc_ref[...].reshape(tpx, 1)
-        ncmax_s[0, 0] = jnp.max(nc_ref[...])
         t_s[...] = jnp.ones_like(t_s)
+        done_s[...] = jnp.zeros_like(done_s)
         pfx_s[...] = jnp.zeros_like(pfx_s)
 
     @pl.when(v_newblk)
@@ -323,18 +316,19 @@ def _bwd_kernel(
     for h in range(HALVES):
         lo_h = jnp.clip(v_lo - h * CH, 0, CH)
         hi_h = jnp.clip(v_hi - h * CH, 0, CH)
-        rank0_h = v_rank0 + h * CH
-        # Skip chunks beyond the tile's last contributing entry (the
-        # backward analog of the forward's saturation skip; the reference
-        # gets the same effect via last_contributor, backward.cu:485-490).
-        past_contrib = rank0_h.astype(_f32) >= ncmax_s[0, 0]
+        # Replay the forward's early-exit decisions exactly (same carries,
+        # same arithmetic, same order) instead of consuming an n_contrib
+        # residual — possible because this backward walks FORWARD, unlike
+        # the reference's back-to-front walk (backward.cu:485-490), and it
+        # gives the same whole-chunk skip once every pixel is saturated.
+        not_saturated = jnp.logical_not(jnp.all(done_s[...] > 0.0))
         active = jnp.logical_and(
-            jnp.logical_and(jnp.logical_not(v_dummy), jnp.logical_not(past_contrib)),
+            jnp.logical_and(jnp.logical_not(v_dummy), not_saturated),
             hi_h > lo_h,
         )
 
         @pl.when(active)
-        def _(h=h, lo_h=lo_h, hi_h=hi_h, rank0_h=rank0_h):
+        def _(h=h, lo_h=lo_h, hi_h=hi_h):
             sl = slice(h * CH, (h + 1) * CH)
             geo = _chunk_geometry(
                 rec_ref[:, sl], t, lo_h, hi_h, grid_x, tile_w, tile_h, origin_y
@@ -345,13 +339,18 @@ def _bwd_kernel(
             pxl, pyl = geo["pxl"], geo["pyl"]
             rgb3 = geo["rgb3"]
 
-            rank = (rank0_h + geo["lane"]).astype(_f32)
-            include = jnp.logical_and(jnp.logical_not(skip), rank < nc_s[...])
-            om = jnp.where(include, 1.0 - alpha, 1.0)
-
+            om = jnp.where(skip, 1.0, 1.0 - alpha)  # forward's pre-gate om
             cp = _lane_scan(om, jnp.multiply, 1.0)
             excl = _shift_one(cp, 1.0)
-            t_i = t_s[...] * excl  # transmittance before entry i (== forward)
+            t_carry = t_s[...]  # (TPX, 1)
+            t_i = t_carry * excl  # transmittance before entry i (== forward)
+            test = t_i * om
+            badcum = test < T_EPS
+            done = done_s[...] > 0.0
+            include = jnp.logical_and(
+                jnp.logical_not(skip),
+                jnp.logical_and(jnp.logical_not(badcum), jnp.logical_not(done)),
+            )
             wgt = jnp.where(include, alpha * t_i, 0.0)
 
             g2 = g_ref[0]  # (3, TPX) image cotangent for this tile
@@ -394,8 +393,11 @@ def _bwd_kernel(
             drec_ref[:, sl] = drec_ref[:, sl] + rows
 
             t_s[...] = jnp.minimum(
-                jnp.min(jnp.where(include, t_i * om, jnp.inf), axis=1, keepdims=True),
-                t_s[...],
+                jnp.min(jnp.where(include, test, jnp.inf), axis=1, keepdims=True),
+                t_carry,
+            )
+            done_s[...] = jnp.maximum(
+                done_s[...], (test[:, CH - 1:CH] < T_EPS).astype(_f32)
             )
             pfx_s[...] = pfx_s[...] + jnp.sum(cgw, axis=1, keepdims=True)
 
@@ -419,13 +421,11 @@ def _fwd_call(cfg, rec, v: Visits, origin_y):
         out_specs=[
             pl.BlockSpec((1, 3, tpx), _visit_tile_map, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, tpx), _visit_tile_map, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, tpx), _visit_tile_map, memory_space=pltpu.VMEM),
         ],
-        scratch_shapes=[pltpu.VMEM((tpx, 1), _f32)] * 3,
+        scratch_shapes=[pltpu.VMEM((tpx, 1), _f32)] * 2,
     )
     out_shape = [
         jax.ShapeDtypeStruct((num_tiles, 3, tpx), _f32),
-        jax.ShapeDtypeStruct((num_tiles, 1, tpx), _f32),
         jax.ShapeDtypeStruct((num_tiles, 1, tpx), _f32),
     ]
     return pl.pallas_call(
@@ -437,7 +437,7 @@ def _fwd_call(cfg, rec, v: Visits, origin_y):
     )(v.tile, v.tile_start, v.tile_stop, v.voff, origin_y, rec)
 
 
-def _bwd_call(cfg, rec, img, g_img, g_ft, ft, nc, v: Visits, origin_y):
+def _bwd_call(cfg, rec, img, g_img, g_ft, ft, v: Visits, origin_y):
     grid_x, grid_y, tile_w, tile_h, interp = cfg
     tpx = tile_w * tile_h
     wv = v.tile.shape[0]
@@ -455,15 +455,13 @@ def _bwd_call(cfg, rec, img, g_img, g_ft, ft, nc, v: Visits, origin_y):
             pl.BlockSpec((1, 3, tpx), _visit_tile_map, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, tpx), _visit_tile_map, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, tpx), _visit_tile_map, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, tpx), _visit_tile_map, memory_space=pltpu.VMEM),
         ],
         out_specs=[
             pl.BlockSpec(
                 (REC_ROWS, BLK), _visit_block_map(nblocks), memory_space=pltpu.VMEM
             ),
         ],
-        scratch_shapes=[pltpu.VMEM((tpx, 1), _f32)] * 4
-        + [pltpu.SMEM((1, 1), _f32)],
+        scratch_shapes=[pltpu.VMEM((tpx, 1), _f32)] * 4,
     )
     (drec,) = pl.pallas_call(
         kernel,
@@ -473,7 +471,7 @@ def _bwd_call(cfg, rec, img, g_img, g_ft, ft, nc, v: Visits, origin_y):
         interpret=interp,
     )(
         v.tile, v.tile_start, v.tile_stop, v.voff, origin_y,
-        rec, img, g_img, g_ft, ft, nc,
+        rec, img, g_img, g_ft, ft,
     )
     return drec
 
@@ -506,31 +504,31 @@ def _render_core_fwd_impl(
     )
     v = binning.build_visits(sr.tile_start, sr.tile_stop, capacity, num_tiles)
     kcfg = (grid_x, grid_y, tile_w, tile_h, interp)
-    img, ft, nc = _fwd_call(kcfg, sr.rec, v, oy)
+    img, ft = _fwd_call(kcfg, sr.rec, v, oy)
     # Tiles the kernel never visited (no entries) hold uninitialized HBM.
     empty = sr.tile_stop == sr.tile_start
     img = jnp.where(empty[:, None, None], 0.0, img)
     ft = jnp.where(empty[:, None, None], 1.0, ft)
-    return img, ft, sr.total, sr, v, nc
+    return img, ft, sr.total, sr, v
 
 
 def _render_core_fwd(
     cfg, means2d, conic, rgb, opacity, depths, rect_min, rect_max, tiles, oy
 ):
-    img, ft, _total, sr, v, nc = _render_core_fwd_impl(
+    img, ft, _total, sr, v = _render_core_fwd_impl(
         cfg, means2d, conic, rgb, opacity, depths, rect_min, rect_max, tiles, oy
     )
     p = means2d.shape[0]
-    res = (sr.rec, sr.gauss_id, sr.counts, v, nc, img, ft, oy, p)
+    res = (sr.rec, sr.gauss_id, sr.counts, v, img, ft, oy, p)
     return (img, ft), res
 
 
 def _render_core_bwd(cfg, res, cts):
-    rec, gid, gcounts, v, nc, img, ft, oy, p = res
+    rec, gid, gcounts, v, img, ft, oy, p = res
     g_img, g_ft = cts
     grid_x, grid_y, tile_w, tile_h, interp, capacity = cfg
     kcfg = (grid_x, grid_y, tile_w, tile_h, interp)
-    drec = _bwd_call(kcfg, rec, img, g_img, g_ft, ft, nc, v, oy)
+    drec = _bwd_call(kcfg, rec, img, g_img, g_ft, ft, v, oy)
 
     # Route per-entry gradients back to gaussians. A direct segment_sum
     # lowers to a slow TPU scatter-add (~57 ms at 4M entries); instead:
