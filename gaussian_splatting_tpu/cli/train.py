@@ -40,6 +40,7 @@ def training(
     quiet=False,
     disable_viewer=False,
     profile_iteration=-1,
+    debug_from=-1,
 ):
     if not dataset.model_path:
         unique_str = os.getenv("OAR_JOB_ID") or str(uuid.uuid4())
@@ -88,6 +89,7 @@ def training(
         spatial_lr_scale=scene.cameras_extent,
     )
     trainer.init_from_pcd(scene.info.points, scene.info.colors)
+    trainer.debug = bool(getattr(pipe, "debug", False))
     if checkpoint:
         trainer.load_checkpoint(checkpoint)
 
@@ -102,6 +104,20 @@ def training(
         except Exception as e:
             print(f"network gui disabled: {e}")
 
+    # tqdm progress bar with EMA loss, updated every 10 iters
+    # (train.py:73,136-140); falls back to prints when tqdm is absent.
+    progress_bar = None
+    try:
+        from tqdm import tqdm
+
+        progress_bar = tqdm(
+            total=opt_cfg.iterations, initial=trainer.iteration,
+            desc="Training progress", disable=quiet,
+        )
+    except Exception:
+        pass
+    ema_loss = 0.0
+
     t0 = time.time()
     last_log = t0
     while trainer.iteration < opt_cfg.iterations:
@@ -111,6 +127,8 @@ def training(
             import jax
 
             jax.profiler.start_trace(os.path.join(dataset.model_path, "profile"))
+        if debug_from >= 0 and trainer.iteration + 1 >= debug_from:
+            trainer.debug = True  # train.py:112-113
         # Maintenance (densify + opacity reset) is deferred until after
         # report/save below — reference iteration order (train.py:146-169).
         m = trainer.step(defer_maintenance=True)
@@ -120,6 +138,14 @@ def training(
 
             jax.profiler.stop_trace()
             print(f"[ITER {it}] profiler trace written to {dataset.model_path}/profile")
+
+        ema_loss = 0.4 * m["loss"] + 0.6 * ema_loss  # train.py:136
+        if progress_bar is not None:
+            if it % 10 == 0:
+                progress_bar.set_postfix({"Loss": f"{ema_loss:.7f}"})
+                progress_bar.update(10)
+            if it == opt_cfg.iterations:
+                progress_bar.close()
 
         if tb_writer and it % 10 == 0:
             tb_writer.add_scalar("train_loss_patches/l1_loss", m["l1"], it)
@@ -135,7 +161,8 @@ def training(
             )
 
         if it in testing_iterations:
-            _report(tb_writer, it, scene, trainer)
+            _report(tb_writer, it, scene, trainer,
+                    log_gt=it == min(testing_iterations))
         if it in saving_iterations:
             print(f"\n[ITER {it}] Saving Gaussians")
             params, _, _, _, _ = _state_to_host(trainer.state)
@@ -152,8 +179,10 @@ def training(
     return scene, trainer
 
 
-def _report(tb_writer, iteration, scene: Scene, trainer: Trainer):
-    """training_report (train.py:207-242): test/train L1 + PSNR."""
+def _report(tb_writer, iteration, scene: Scene, trainer: Trainer, log_gt=False):
+    """training_report (train.py:207-242): test/train L1 + PSNR, plus the
+    reference's image panels (renders for 5 views, GT once), opacity
+    histogram, and total_points."""
     import jax.numpy as jnp
 
     from gaussian_splatting_tpu.ops import losses
@@ -173,7 +202,7 @@ def _report(tb_writer, iteration, scene: Scene, trainer: Trainer):
         if not cams:
             continue
         l1_sum, psnr_sum = 0.0, 0.0
-        for cam in cams:
+        for idx, cam in enumerate(cams):
             img, _ = eval_render(
                 trainer.state.params,
                 trainer.state.alive,
@@ -187,6 +216,18 @@ def _report(tb_writer, iteration, scene: Scene, trainer: Trainer):
             )
             img = jnp.clip(img, 0.0, 1.0)
             gt = jnp.asarray(cam.image.transpose(1, 2, 0))
+            if tb_writer and idx < 5:
+                # train.py:223-227: (1, 3, H, W) panels per view
+                r = np.asarray(img).transpose(2, 0, 1)[None]
+                tb_writer.add_images(
+                    f"{name}_view_{cam.image_name}/render", r, global_step=iteration
+                )
+                if log_gt:
+                    g = np.asarray(gt).transpose(2, 0, 1)[None]
+                    tb_writer.add_images(
+                        f"{name}_view_{cam.image_name}/ground_truth",
+                        g, global_step=iteration,
+                    )
             l1_sum += float(losses.l1_loss(img, gt))
             psnr_sum += float(losses.psnr(img, gt))
         l1_t, psnr_t = l1_sum / len(cams), psnr_sum / len(cams)
@@ -194,6 +235,14 @@ def _report(tb_writer, iteration, scene: Scene, trainer: Trainer):
         if tb_writer:
             tb_writer.add_scalar(f"{name}/loss_viewpoint - l1_loss", l1_t, iteration)
             tb_writer.add_scalar(f"{name}/loss_viewpoint - psnr", psnr_t, iteration)
+
+    if tb_writer:
+        # train.py:239-241: opacity histogram + total point count
+        alive = np.asarray(trainer.state.alive)
+        raw_op = np.asarray(trainer.state.params.opacity)[alive, 0]
+        opacities = 1.0 / (1.0 + np.exp(-raw_op))  # activated, like get_opacity
+        tb_writer.add_histogram("scene/opacity_histogram", opacities, iteration)
+        tb_writer.add_scalar("total_points", int(alive.sum()), iteration)
 
 
 def jnp_cam(cam):
@@ -248,6 +297,7 @@ def main(argv=None):
         quiet=args.quiet,
         disable_viewer=args.disable_viewer,
         profile_iteration=args.profile_iteration,
+        debug_from=args.debug_from,
     )
     print("\nTraining complete.")
 

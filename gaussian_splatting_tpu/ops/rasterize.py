@@ -58,6 +58,35 @@ class RasterizerConfig:
         return max(256, ((cap + 255) // 256) * 256)
 
 
+def _pallas_grid_ok(grid_x: int, grid_y: int) -> bool:
+    """Whether the Pallas fast path's bit packings cover this tile grid
+    (binning: 14-bit tile/local-index packing, 10-bit rect geometry)."""
+    return grid_x * grid_y <= (1 << 14) and max(grid_x, grid_y) < (1 << binning._GEO_BITS)
+
+
+def _xla_path(prep, config, grid_x, grid_y, width, height, bg):
+    lists = binning.build_tile_lists(
+        prep.rect_min,
+        prep.rect_max,
+        prep.depths,
+        prep.tiles_touched,
+        grid_x,
+        grid_y,
+        config.capacity(prep.depths.shape[0]),
+    )
+    out = composite.composite_tiles(
+        prep,
+        lists,
+        width,
+        height,
+        config.tile_w,
+        config.tile_h,
+        bg,
+        chunk=config.chunk,
+    )
+    return out, lists.total
+
+
 @partial(
     jax.jit,
     static_argnames=("sh_degree", "width", "height", "config", "return_aux"),
@@ -117,6 +146,12 @@ def rasterize(
             prep, width, height, config.tile_w, config.tile_h, bg
         )
         num_entries = jnp.sum(prep.tiles_touched)
+    elif config.backend == "pallas" and not _pallas_grid_ok(grid_x, grid_y):
+        # The Pallas emission packs (tile, local index) into 14 bits and the
+        # rect geometry into 10 bits per axis (binning._GEO_BITS) — a ~4K+
+        # image at 16-px tiles exceeds both. Fall back to the XLA composite
+        # path rather than crash (same outputs, slower).
+        out, num_entries = _xla_path(prep, config, grid_x, grid_y, width, height, bg)
     elif config.backend == "pallas":
         from gaussian_splatting_tpu.ops.composite_pallas import render_tiles_pallas
 
@@ -125,26 +160,7 @@ def rasterize(
             config.capacity(P),
         )
     else:
-        lists = binning.build_tile_lists(
-            prep.rect_min,
-            prep.rect_max,
-            prep.depths,
-            prep.tiles_touched,
-            grid_x,
-            grid_y,
-            config.capacity(P),
-        )
-        num_entries = lists.total
-        out = composite.composite_tiles(
-            prep,
-            lists,
-            width,
-            height,
-            config.tile_w,
-            config.tile_h,
-            bg,
-            chunk=config.chunk,
-        )
+        out, num_entries = _xla_path(prep, config, grid_x, grid_y, width, height, bg)
 
     if not return_aux:
         return out.image

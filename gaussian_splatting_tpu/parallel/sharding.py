@@ -42,7 +42,48 @@ from gaussian_splatting_tpu.scene.optim import AdamState, adam_update, expon_lr
 from gaussian_splatting_tpu.training import OptimizationConfig, TrainState
 
 
+def initialize_distributed(
+    coordinator_address: Optional[str] = None,
+    num_processes: Optional[int] = None,
+    process_id: Optional[int] = None,
+) -> bool:
+    """Multi-host entry point: wire up jax.distributed so jax.devices()
+    spans every host (the DCN analog of "nothing" in the single-GPU
+    reference; SURVEY.md section 2.3 item 3).
+
+    Env-gated: reads GS_COORDINATOR / GS_NUM_PROCESSES / GS_PROCESS_ID when
+    arguments are omitted (on TPU pods with a cluster env, plain
+    jax.distributed.initialize() autodetects all three). Returns True when
+    a multi-process runtime was initialized, False for single-process runs.
+    Idempotent: re-initialization attempts are ignored.
+    """
+    import os
+
+    coordinator_address = coordinator_address or os.environ.get("GS_COORDINATOR")
+    if num_processes is None and "GS_NUM_PROCESSES" in os.environ:
+        num_processes = int(os.environ["GS_NUM_PROCESSES"])
+    if process_id is None and "GS_PROCESS_ID" in os.environ:
+        process_id = int(os.environ["GS_PROCESS_ID"])
+    if coordinator_address is None:
+        return False
+    from jax._src import distributed as _dist
+
+    if getattr(_dist.global_state, "client", None) is not None:
+        return True  # already initialized (idempotent)
+    jax.distributed.initialize(
+        coordinator_address=coordinator_address,
+        num_processes=num_processes,
+        process_id=process_id,
+    )
+    return True
+
+
 def make_mesh(n_devices: Optional[int] = None, axis: str = "gauss") -> Mesh:
+    """1-D mesh over the first n (globally visible) devices. After
+    initialize_distributed(), jax.devices() spans all hosts, so the mesh
+    covers ICI within each host and DCN across hosts; the Gaussian-sharded
+    stages communicate only through the record all_gather/reduce_scatter
+    pair, which XLA maps to the fastest available link per hop."""
     devs = jax.devices()[: n_devices or len(jax.devices())]
     return Mesh(np.array(devs), (axis,))
 

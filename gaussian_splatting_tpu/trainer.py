@@ -106,6 +106,11 @@ class Trainer:
     # (the analog of the reference's snapshot_fw.dump,
     # diff_gaussian_rasterization/__init__.py:87-94) and raise.
     debug_dump_path: str = "snapshot_step.dump"
+    # With debug=True, ANY exception raised by the jitted step also dumps
+    # the snapshot before re-raising — the analog of the reference's
+    # pipe.debug dump-on-exception path (train.py:112-113 flips this on at
+    # --debug_from via the CLI).
+    debug: bool = False
 
     def __post_init__(self):
         self.rng = np.random.default_rng(self.seed)
@@ -179,41 +184,45 @@ class Trainer:
 
         in_densify_window = it < self.opt.densify_until_iter
         cam_arrays = jax.tree.map(jnp.asarray, camera.arrays())
-        if self.mesh is None:
-            self.state, metrics = train_step(
-                self.state,
-                cam_arrays,
-                gt,
-                bg,
-                jnp.asarray(it, jnp.int32),
-                sh_degree=self.sh_degree,
-                active_sh_degree=self.active_sh_degree,
-                width=camera.width,
-                height=camera.height,
-                raster_cfg=self.raster_cfg,
-                opt=self.opt,
-                spatial_lr_scale=self.spatial_lr_scale,
-                update_densify_stats=in_densify_window,
-            )
-        else:
-            step_fn = self._sharded_step(
-                camera.width, camera.height, in_densify_window
-            )
-            self.state, metrics = step_fn(
-                self.state, cam_arrays, gt, bg, jnp.asarray(it, jnp.int32)
-            )
+        try:
+            if self.mesh is None:
+                self.state, metrics = train_step(
+                    self.state,
+                    cam_arrays,
+                    gt,
+                    bg,
+                    jnp.asarray(it, jnp.int32),
+                    sh_degree=self.sh_degree,
+                    active_sh_degree=self.active_sh_degree,
+                    width=camera.width,
+                    height=camera.height,
+                    raster_cfg=self.raster_cfg,
+                    opt=self.opt,
+                    spatial_lr_scale=self.spatial_lr_scale,
+                    update_densify_stats=in_densify_window,
+                )
+            else:
+                step_fn = self._sharded_step(
+                    camera.width, camera.height, in_densify_window
+                )
+                self.state, metrics = step_fn(
+                    self.state, cam_arrays, gt, bg, jnp.asarray(it, jnp.int32)
+                )
+        except Exception:
+            if self.debug:
+                # pipe.debug semantics: dump the step inputs for offline
+                # repro before re-raising (diff_gaussian_rasterization/
+                # __init__.py:87-94). The donated state may already be
+                # invalid, so dump what is safely host-readable.
+                self._dump_snapshot(it, camera, {"error": "step exception"})
+                print(f"step raised; snapshot written to {self.debug_dump_path}")
+            raise
         m = {k: float(v) if np.ndim(v) == 0 else v for k, v in jax.device_get(metrics).items()}
         m["iteration"] = it
         self.history.append(m)
 
         if not math.isfinite(m["loss"]):
-            params, am, av, stats, step_ = _state_to_host(self.state)
-            with open(self.debug_dump_path, "wb") as f:
-                pickle.dump(
-                    dict(iteration=it, camera_uid=camera.uid, params=params,
-                         adam_m=am, adam_v=av, stats=stats, metrics=m),
-                    f,
-                )
+            self._dump_snapshot(it, camera, {"metrics": m})
             raise FloatingPointError(
                 f"non-finite loss {m['loss']} at iteration {it}; snapshot "
                 f"written to {self.debug_dump_path}"
@@ -223,20 +232,35 @@ class Trainer:
         # clipped (reference reallocates its arena, rasterize_points.cu:28-36).
         cap = self.raster_cfg.capacity(self.state.params.xyz.shape[0])
         if m["num_entries"] > cap:
-            mult = self.raster_cfg.capacity_mult
-            while mult * self.state.params.xyz.shape[0] < m["num_entries"]:
-                mult *= 2
-            self.raster_cfg = RasterizerConfig(
-                tile_w=self.raster_cfg.tile_w,
-                tile_h=self.raster_cfg.tile_h,
-                capacity_mult=mult,
-                chunk=self.raster_cfg.chunk,
-                backend=self.raster_cfg.backend,
-            )
+            from dataclasses import replace as _dc_replace
+
+            if self.raster_cfg.capacity_exact is not None:
+                # caller sized the budget explicitly: grow the exact value
+                # (coarse 2^18 buckets keep compiled-binary shapes stable)
+                bucket = 1 << 18
+                exact = -(-int(m["num_entries"] * 1.2) // bucket) * bucket
+                self.raster_cfg = _dc_replace(self.raster_cfg, capacity_exact=exact)
+            else:
+                mult = self.raster_cfg.capacity_mult
+                while mult * self.state.params.xyz.shape[0] < m["num_entries"]:
+                    mult *= 2
+                self.raster_cfg = _dc_replace(self.raster_cfg, capacity_mult=mult)
 
         if not defer_maintenance:
             self.post_step()
         return m
+
+    def _dump_snapshot(self, it: int, camera, extra: dict):
+        """Write the step-input snapshot for offline repro (the analog of
+        snapshot_fw.dump). Tolerates donated/deleted device buffers."""
+        payload = dict(iteration=it, camera_uid=camera.uid, **extra)
+        try:
+            params, am, av, stats, _step = _state_to_host(self.state)
+            payload.update(params=params, adam_m=am, adam_v=av, stats=stats)
+        except Exception as e:  # state was donated into the failing step
+            payload["state_unavailable"] = repr(e)
+        with open(self.debug_dump_path, "wb") as f:
+            pickle.dump(payload, f)
 
     def post_step(self):
         """Densification cadence (train.py:151-169); see step()."""

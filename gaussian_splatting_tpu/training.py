@@ -191,7 +191,9 @@ def train_step(
 
 @partial(
     jax.jit,
-    static_argnames=("sh_degree", "active_sh_degree", "width", "height", "raster_cfg"),
+    static_argnames=(
+        "sh_degree", "active_sh_degree", "width", "height", "raster_cfg",
+    ),
 )
 def eval_render(
     params: GaussianParams,
@@ -203,10 +205,16 @@ def eval_render(
     width: int,
     height: int,
     raster_cfg: RasterizerConfig,
+    scale_modifier: float = 1.0,
 ):
+    """Render from raw params (viewer + eval path). `scale_modifier` is the
+    SIBR slider the reference threads through render() (train.py:84,
+    gaussian_renderer/__init__.py:18,60); it is a traced scalar so slider
+    motion does not recompile."""
     acts = activate(params)
     img, aux = rasterize(
         acts.xyz, acts.scales, acts.quats, acts.opacities, acts.shs,
         active_sh_degree, cam, width, height, bg, raster_cfg, alive=alive,
+        scale_modifier=scale_modifier,
     )
     return img, aux

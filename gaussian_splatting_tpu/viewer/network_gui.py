@@ -116,6 +116,7 @@ class NetworkGUI:
                         cam.width,
                         cam.height,
                         trainer.raster_cfg,
+                        scale_modifier=float(scaling_modifier),
                     )
                     arr = (np.clip(np.asarray(img), 0, 1) * 255).astype(np.uint8)
                     net_image_bytes = memoryview(np.ascontiguousarray(arr))

@@ -136,6 +136,59 @@ def test_sharded_step_pallas_backend():
     assert losses[-1] <= losses[0]
 
 
+def test_initialize_distributed_entry_path():
+    """Multi-host wiring smoke test (SURVEY.md section 2.3 item 3): without a
+    coordinator it is a no-op; with one (single-process here, in a
+    subprocess so the distributed runtime does not leak into this process)
+    jax.distributed comes up and a sharded op runs over the global mesh."""
+    import os
+    import subprocess
+    import sys
+    import textwrap
+
+    from gaussian_splatting_tpu.parallel import sharding
+
+    assert sharding.initialize_distributed() is False  # env-gated no-op
+
+    prog = textwrap.dedent(
+        """
+        import os
+        os.environ["JAX_PLATFORMS"] = "cpu"
+        os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+        import jax.numpy as jnp
+        import numpy as np
+        from gaussian_splatting_tpu.parallel import sharding
+        assert sharding.initialize_distributed(
+            "localhost:{port}", num_processes=1, process_id=0
+        ) is True
+        assert jax.process_count() == 1
+        # idempotent second call
+        assert sharding.initialize_distributed("localhost:{port}", 1, 0) is True
+        mesh = sharding.make_mesh()
+        assert mesh.devices.size == 4
+        from jax.sharding import NamedSharding, PartitionSpec
+        x = jax.device_put(
+            jnp.arange(8.0), NamedSharding(mesh, PartitionSpec("gauss"))
+        )
+        y = jax.jit(lambda v: (v * 2).sum())(x)
+        assert float(y) == 56.0
+        print("distributed-ok")
+        """
+    ).format(port=np.random.default_rng(os.getpid()).integers(20000, 40000))
+    env = dict(os.environ)
+    env["PYTHONPATH"] = (
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        + os.pathsep + env.get("PYTHONPATH", "")
+    )
+    out = subprocess.run(
+        [sys.executable, "-c", prog], capture_output=True, text=True,
+        env=env, timeout=300,
+    )
+    assert "distributed-ok" in out.stdout, out.stderr
+
+
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
 def test_trainer_multidevice_with_densify():
     """Trainer(mesh=...) trains end to end on a virtual mesh, including a

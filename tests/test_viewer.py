@@ -9,7 +9,7 @@ import numpy as np
 import pytest
 
 
-def _client_request(port, width, height, view, viewproj):
+def _client_request(port, width, height, view, viewproj, scaling_modifier=1.0):
     """Speak the reference wire protocol (network_gui.py:43-55): length-
     prefixed JSON in, raw RGB + length-prefixed source path out."""
     s = socket.create_connection(("127.0.0.1", port), timeout=10)
@@ -24,7 +24,7 @@ def _client_request(port, width, height, view, viewproj):
         shs_python=False,
         rot_scale_python=False,
         keep_alive=True,
-        scaling_modifier=1.0,
+        scaling_modifier=scaling_modifier,
         view_matrix=view,
         view_projection_matrix=viewproj,
     )
@@ -121,3 +121,41 @@ def test_network_gui_roundtrip():
     )
     direct = (np.clip(np.asarray(img_direct), 0, 1) * 255).astype(np.uint8)
     assert np.abs(direct.astype(int) - result["img"].astype(int)).max() <= 1
+
+    # --- scaling_modifier must reach the rasterizer (train.py:84): a 0.5
+    # slider shrinks every splat, so the frame changes and covers less ---
+    import time as _time
+
+    res2 = {}
+
+    def client2():
+        res2["img"], _ = _client_request(port, W, H, view, viewproj,
+                                         scaling_modifier=0.5)
+
+    t2 = threading.Thread(target=client2)
+    t2.start()
+    for _ in range(200):
+        gui.try_connect()
+        if gui.conn is not None:
+            break
+        _time.sleep(0.05)
+    gui.poll(trainer)
+    t2.join(timeout=30)
+    assert not t2.is_alive()
+    assert not np.array_equal(res2["img"], result["img"])
+    # shrunken splats light strictly fewer pixels
+    assert (res2["img"].sum(-1) > 0).sum() < (result["img"].sum(-1) > 0).sum()
+    # and match a direct render with the same modifier
+    img_half, aux_half = eval_render(
+        trainer.state.params, trainer.state.alive,
+        jax.tree.map(jnp.asarray, ca), trainer.background,
+        3, 0, W, H, trainer.raster_cfg, scale_modifier=0.5,
+    )
+    half = (np.clip(np.asarray(img_half), 0, 1) * 255).astype(np.uint8)
+    assert np.abs(half.astype(int) - res2["img"].astype(int)).max() <= 1
+    _, aux_full = eval_render(
+        trainer.state.params, trainer.state.alive,
+        jax.tree.map(jnp.asarray, ca), trainer.background,
+        3, 0, W, H, trainer.raster_cfg, scale_modifier=1.0,
+    )
+    assert int(aux_half["num_entries"]) <= int(aux_full["num_entries"])

@@ -1,0 +1,321 @@
+"""Per-stage on-chip timing of the render pipeline (bench.py scene).
+
+Methodology (see memory/tpu-perf-cost-model): dispatch through the axon
+tunnel costs ~140 ms wall, so each stage is timed as a lax.scan chain of N
+dependent iterations inside ONE jit; one scalar is pulled; min over reps.
+
+Usage: python tools/profile_stages.py [stage ...]
+Stages: pre emit gather visits render sortonly micro routing sat
+"""
+
+import math
+import os
+import sys
+import time
+from functools import partial
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from gaussian_splatting_tpu.utils.general import enable_compilation_cache
+
+enable_compilation_cache()
+
+from gaussian_splatting_tpu.ops import binning
+from gaussian_splatting_tpu.ops.projection import preprocess
+from gaussian_splatting_tpu.ops.rasterize import RasterizerConfig, rasterize
+from gaussian_splatting_tpu.scene.cameras import Camera
+
+P = int(os.environ.get("GS_BENCH_P", 262_144))
+W = int(os.environ.get("GS_BENCH_W", 1920))
+H = int(os.environ.get("GS_BENCH_H", 1080))
+N_ITERS = int(os.environ.get("GS_BENCH_ITERS", 10))
+
+rng = np.random.default_rng(0)
+means = jnp.asarray(rng.normal(0, 1.0, (P, 3)), jnp.float32)
+scales = jnp.asarray(np.exp(rng.normal(-4.2, 0.5, (P, 3))), jnp.float32)
+quats = jnp.asarray(rng.normal(0, 1, (P, 4)), jnp.float32)
+opacities = jnp.asarray(1 / (1 + np.exp(-rng.normal(0.0, 1.0, (P,)))), jnp.float32)
+shs_np = rng.normal(0, 0.2, (P, 16, 3)).astype(np.float32)
+shs_np[:, 0, :] += 1.0
+shs = jnp.asarray(shs_np)
+
+cam = Camera(
+    uid=0, colmap_id=0, R=np.eye(3), T=np.array([0.0, 0.0, 4.0]),
+    fovx=math.radians(70), fovy=math.radians(70 * H / W), image=None,
+    image_name="bench", width=W, height=H,
+).arrays()
+bg = jnp.zeros(3, jnp.float32)
+
+GRID_X = (W + 15) // 16
+GRID_Y = (H + 15) // 16
+NUM_TILES = GRID_X * GRID_Y
+
+
+@jax.jit
+def _count():
+    prep = preprocess(means, scales, quats, opacities, shs, 3, cam, W, H, 16, 16)
+    return jnp.sum(prep.tiles_touched)
+
+
+n_entries = int(_count())
+bucket = 1 << 18
+CAP = max(8 * P, -(int(n_entries * 1.02) // -bucket) * bucket)
+print(f"P={P} entries={n_entries} capacity={CAP} tiles={NUM_TILES}")
+
+
+def chain_time(fn, label, n=N_ITERS, reps=3):
+    """fn(carry_scalar) -> scalar. Times n chained evals inside one jit."""
+
+    @jax.jit
+    def chain(c0):
+        def body(c, _):
+            return fn(c) * 1e-30 + c * 0.5, None
+
+        out, _ = jax.lax.scan(body, c0, None, length=n)
+        return out
+
+    c0 = jnp.float32(1.0)
+    float(chain(c0))
+    ts = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        float(chain(c0))
+        ts.append(time.perf_counter() - t0)
+    ms = min(ts) / n * 1000
+    print(f"{label:32s} {ms:8.2f} ms")
+    return ms
+
+
+def _prep(c):
+    return preprocess(
+        means + c * 0, scales, quats, opacities, shs, 3, cam, W, H, 16, 16
+    )
+
+
+def stage_pre():
+    def f(c):
+        pr = _prep(c)
+        return jnp.sum(pr.means2d) + jnp.sum(pr.tiles_touched)
+
+    chain_time(f, "preprocess")
+
+
+def stage_emit():
+    def f(c):
+        pr = _prep(c)
+        sr = binning.emit_sorted_records(
+            pr.means2d, pr.conic, pr.rgb, pr.opacity, pr.depths,
+            pr.rect_min, pr.rect_max, pr.tiles_touched, GRID_X, GRID_Y, CAP,
+        )
+        # touch everything except rec (the gather output)
+        return (
+            jnp.sum(sr.gauss_id) + jnp.sum(sr.tile_start) + jnp.sum(sr.tile_stop)
+        ).astype(jnp.float32)
+
+    chain_time(f, "pre+emit(sort,ranges) no gather")
+
+
+def stage_gather():
+    def f(c):
+        pr = _prep(c)
+        sr = binning.emit_sorted_records(
+            pr.means2d, pr.conic, pr.rgb, pr.opacity, pr.depths,
+            pr.rect_min, pr.rect_max, pr.tiles_touched, GRID_X, GRID_Y, CAP,
+        )
+        return jnp.sum(sr.rec[0]) + jnp.sum(sr.gauss_id).astype(jnp.float32)
+
+    chain_time(f, "pre+emit+gather")
+
+
+def stage_visits():
+    def f(c):
+        pr = _prep(c)
+        sr = binning.emit_sorted_records(
+            pr.means2d, pr.conic, pr.rgb, pr.opacity, pr.depths,
+            pr.rect_min, pr.rect_max, pr.tiles_touched, GRID_X, GRID_Y, CAP,
+        )
+        v = binning.build_visits(sr.tile_start, sr.tile_stop, CAP, NUM_TILES)
+        return (
+            jnp.sum(sr.rec[0]) + jnp.sum(v.tile) + jnp.sum(v.voff)
+        ).astype(jnp.float32)
+
+    chain_time(f, "pre+emit+gather+visits")
+
+
+def stage_render():
+    cfg = RasterizerConfig(backend="pallas", capacity_exact=CAP)
+
+    def f(c):
+        img = rasterize(
+            means, scales, quats, opacities, shs, 3, cam, W, H,
+            bg + c * 0, cfg, return_aux=False,
+        )
+        return img[0, 0, 0]
+
+    chain_time(f, "full render (pallas)")
+
+
+def stage_sat():
+    """Saturation diagnostics: how much kernel work is skippable."""
+    cfg = RasterizerConfig(backend="pallas", capacity_exact=CAP)
+    img, aux = rasterize(
+        means, scales, quats, opacities, shs, 3, cam, W, H, bg, cfg
+    )
+    ft = np.asarray(aux["final_t"])
+    print(f"final_t: mean={ft.mean():.4f} frac<1e-4={np.mean(ft < 1e-4):.3f}")
+    # per-tile: fraction of tiles whose WHOLE 16x16 block saturates
+    th, tw = H // 16 * 16, W // 16 * 16
+    t = ft[:th, :tw].reshape(th // 16, 16, tw // 16, 16).transpose(0, 2, 1, 3)
+    tile_max = t.reshape(-1, 256).max(axis=1)
+    print(f"tiles all-saturated: {np.mean(tile_max < 1e-4):.3f}")
+
+    prep = jax.jit(
+        lambda: preprocess(means, scales, quats, opacities, shs, 3, cam, W, H, 16, 16)
+    )()
+    tiles = np.asarray(prep.tiles_touched)
+    print(
+        f"tiles_touched: mean={tiles.mean():.2f} p50={np.percentile(tiles,50):.0f} "
+        f"p95={np.percentile(tiles,95):.0f} max={tiles.max()}"
+    )
+    sr = jax.jit(
+        lambda: binning.emit_sorted_records(
+            prep.means2d, prep.conic, prep.rgb, prep.opacity, prep.depths,
+            prep.rect_min, prep.rect_max, prep.tiles_touched, GRID_X, GRID_Y, CAP,
+        )
+    )()
+    cnt = np.asarray(sr.tile_stop - sr.tile_start)
+    print(
+        f"entries/tile: mean={cnt.mean():.1f} p50={np.percentile(cnt,50):.0f} "
+        f"p95={np.percentile(cnt,95):.0f} max={cnt.max()}"
+    )
+    v = binning.build_visits(sr.tile_start, sr.tile_stop, CAP, NUM_TILES)
+    print(f"real visits: {int(np.asarray(v.voff)[-1])}  wv={v.tile.shape[0]}")
+
+
+def stage_micro():
+    """Gather / transpose / sort micro-benchmarks at pipeline sizes."""
+    K = CAP
+    rng2 = np.random.default_rng(1)
+    table = jnp.asarray(rng2.normal(size=(P, 16)), jnp.float32)
+    idx = jnp.asarray(rng2.integers(0, P, K), jnp.int32)
+    drec = jnp.asarray(rng2.normal(size=(16, K)), jnp.float32)
+    ord2 = jnp.asarray(rng2.permutation(K), jnp.int32)
+
+    def g_rows(c):
+        return jnp.sum(table[idx + (c * 0).astype(jnp.int32)][:, :9])
+
+    chain_time(g_rows, f"gather ({K},16) rows from (P,16)")
+
+    def g_rows_t(c):
+        return jnp.sum(table[idx + (c * 0).astype(jnp.int32)].T[:9])
+
+    chain_time(g_rows_t, "gather rows + .T (fwd rec path)")
+
+    # transpose (16,K) -> (K,16) via a trivial Pallas copy kernel
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    BLKT = 2048
+
+    def tkern(x_ref, o_ref):
+        o_ref[...] = x_ref[...].T
+
+    def pallas_transpose(x):  # (16, K) -> (K, 16)
+        k = x.shape[1]
+        return pl.pallas_call(
+            tkern,
+            grid=(k // BLKT,),
+            in_specs=[
+                pl.BlockSpec((16, BLKT), lambda i: (0, i), memory_space=pltpu.VMEM)
+            ],
+            out_specs=pl.BlockSpec(
+                (BLKT, 16), lambda i: (i, 0), memory_space=pltpu.VMEM
+            ),
+            out_shape=jax.ShapeDtypeStruct((k, 16), jnp.float32),
+        )(x)
+
+    def g_route_now(c):
+        d = drec + c * 0
+        return jnp.sum(d.T[ord2].T[:9])
+
+    chain_time(g_route_now, "routing: drec.T[ord2].T (r1 path)")
+
+    def g_route_tp(c):
+        d = pallas_transpose(drec + c * 0)
+        return jnp.sum(d[ord2][:, :9])
+
+    chain_time(g_route_tp, "routing: pallas-T then row gather")
+
+    def tp_only(c):
+        return jnp.sum(pallas_transpose(drec + c * 0))
+
+    chain_time(tp_only, "pallas transpose alone")
+
+    key1 = jnp.asarray(rng2.integers(0, NUM_TILES, K), jnp.int32)
+    key2 = jnp.asarray(rng2.integers(0, 2**30, K), jnp.int32)
+    val = jnp.asarray(rng2.integers(0, P, K), jnp.int32)
+
+    def s3(c):
+        a, b, d = jax.lax.sort(
+            (key1 + (c * 0).astype(jnp.int32), key2, val), num_keys=2,
+            is_stable=False,
+        )
+        return (jnp.sum(a) + jnp.sum(d)).astype(jnp.float32)
+
+    chain_time(s3, "3-op sort (tile,depth,gid)")
+
+    def s2(c):
+        a, b = jax.lax.sort(
+            (val + (c * 0).astype(jnp.int32), jnp.arange(K, dtype=jnp.int32)),
+            num_keys=1, is_stable=False,
+        )
+        return (jnp.sum(a) + jnp.sum(b)).astype(jnp.float32)
+
+    chain_time(s2, "2-op sort (gid,iota) routing")
+
+    # searchsorted vs boundary-scatter ranges
+    s_tile = jnp.sort(key1)
+
+    def ss(c):
+        ids = jnp.arange(NUM_TILES, dtype=jnp.int32) + (c * 0).astype(jnp.int32)
+        a = jnp.searchsorted(s_tile, ids, side="left")
+        b = jnp.searchsorted(s_tile, ids, side="right")
+        return (jnp.sum(a) + jnp.sum(b)).astype(jnp.float32)
+
+    chain_time(ss, "searchsorted ranges x2")
+
+    def bscat(c):
+        st = s_tile + (c * 0).astype(jnp.int32)
+        prev = jnp.concatenate([jnp.full((1,), -1, jnp.int32), st[:-1]])
+        isb = st != prev
+        kidx = jnp.arange(K, dtype=jnp.int32)
+        # run start per tile id (monotone indices)
+        starts = jnp.full((NUM_TILES + 1,), K, jnp.int32).at[
+            jnp.where(isb, st, NUM_TILES)
+        ].min(kidx, mode="drop")
+        # fill empty tiles with next start (reverse cummin)
+        starts = jax.lax.cummin(starts[::-1])[::-1]
+        return jnp.sum(starts).astype(jnp.float32)
+
+    chain_time(bscat, "boundary-scatter ranges")
+
+
+STAGES = {
+    "pre": stage_pre,
+    "emit": stage_emit,
+    "gather": stage_gather,
+    "visits": stage_visits,
+    "render": stage_render,
+    "sat": stage_sat,
+    "micro": stage_micro,
+}
+
+if __name__ == "__main__":
+    names = sys.argv[1:] or ["pre", "emit", "gather", "visits", "render", "sat"]
+    for nm in names:
+        STAGES[nm]()
