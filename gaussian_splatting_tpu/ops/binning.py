@@ -129,7 +129,7 @@ def build_tile_lists(
 # cheap there and sorts expensive, the mirror image of the TPU trade-off.
 # ---------------------------------------------------------------------------
 
-REC_ROWS = 16  # mx my ca cb cc r g b op + 7 zero pad rows (sublane aligned)
+REC_ROWS = 16  # mx my c2a c2b c2c r g b op + 7 zero pad rows (sublane aligned)
 
 _GEO_BITS = 10  # rect fields packed 10/10/10 => grids up to 1024x1024 tiles
 
@@ -183,6 +183,19 @@ def _cumsum_1d(x: jnp.ndarray) -> jnp.ndarray:
     tot = cs[:, -1]
     rowoff = _cumsum_1d(tot) - tot  # exclusive prefix of row totals
     return (cs + rowoff[:, None]).reshape(n)
+
+
+def _cumsum_rows(x: jnp.ndarray) -> jnp.ndarray:
+    """Exact inclusive cumsum of an (R, N) array along axis 1, same
+    lane-major decomposition as _cumsum_1d, shared across the R rows."""
+    r, n = x.shape
+    if n < 1024 or n % 128 != 0:
+        return jnp.cumsum(x, axis=1)
+    c = n // 128
+    cs = jnp.cumsum(x.reshape(r, c, 128), axis=2)
+    tot = cs[:, :, -1]  # (R, C)
+    rowoff = _cumsum_rows(tot) - tot
+    return (cs + rowoff[:, :, None]).reshape(r, n)
 
 
 def emit_sorted_records(
@@ -292,13 +305,16 @@ def emit_sorted_records(
     # carry clamped-but-finite garbage — safe, since the kernels mask
     # every lane outside a tile's [start, stop) range and the VJP routes
     # the padding sentinel id outside every reduction run.
+    # Conic coefficients are stored PRE-FOLDED as (-0.5*ca, -cb, -0.5*cc)
+    # so the compositing kernels evaluate power = c2a*dx^2 + c2c*dy^2 +
+    # c2b*dx*dy with no sign/scale fixups (the VJP maps gradients back).
     prow = jnp.stack(
         [
             means2d[:, 0].astype(f32),
             means2d[:, 1].astype(f32),
-            conic[:, 0].astype(f32),
-            conic[:, 1].astype(f32),
-            conic[:, 2].astype(f32),
+            (-0.5 * conic[:, 0]).astype(f32),
+            (-conic[:, 1]).astype(f32),
+            (-0.5 * conic[:, 2]).astype(f32),
             rgb[:, 0].astype(f32),
             rgb[:, 1].astype(f32),
             rgb[:, 2].astype(f32),

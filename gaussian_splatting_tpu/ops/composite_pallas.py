@@ -74,26 +74,24 @@ def _interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
-def _lane_scan(x: jnp.ndarray, op, fill) -> jnp.ndarray:
-    """Inclusive prefix scan along the lane axis (axis 1, size CH).
-
-    Hillis-Steele doubling with circular rolls + masking: log2(CH) VPU
-    steps, exact f32 (Mosaic has no cumsum/cumprod primitive, and an MXU
-    matmul against a triangular mask runs in bf16 passes).
-    """
-    lane = jax.lax.broadcasted_iota(_i32, x.shape, 1)
-    k = 1
-    while k < CH:
-        shifted = pltpu.roll(x, k, 1)
-        x = op(x, jnp.where(lane >= k, shifted, fill))
-        k *= 2
-    return x
+def _tri(strict: bool) -> jnp.ndarray:
+    """(CH, CH) f32 triangular mask: tri[j, i] = 1 where j < i (strict) or
+    j <= i (inclusive). Contracting a (TPX, CH) array against it on the MXU
+    computes a lane-axis prefix sum in ~6 engine passes at HIGHEST
+    precision — ~4x cheaper than the 7-step Hillis-Steele roll scan the
+    kernels used previously (they are lane-op-count bound)."""
+    row = jax.lax.broadcasted_iota(_i32, (CH, CH), 0)
+    col = jax.lax.broadcasted_iota(_i32, (CH, CH), 1)
+    cmp = row < col if strict else row <= col
+    return cmp.astype(_f32)
 
 
-def _shift_one(x: jnp.ndarray, fill) -> jnp.ndarray:
-    """Shift lanes right by one, filling lane 0 (inclusive -> exclusive)."""
-    lane = jax.lax.broadcasted_iota(_i32, x.shape, 1)
-    return jnp.where(lane >= 1, pltpu.roll(x, 1, 1), fill)
+def _mm_scan(x: jnp.ndarray, strict: bool) -> jnp.ndarray:
+    """Lane-axis prefix SUM of a (TPX, CH) array via one MXU matmul."""
+    return jax.lax.dot_general(
+        x, _tri(strict), (((1,), (0,)), ((), ())),
+        preferred_element_type=_f32, precision=_HI,
+    )
 
 
 def _visit_meta(w, vt_ref, ts_ref, tp_ref, vo_ref):
@@ -160,13 +158,17 @@ def _pix6(pxl, pyl):
 def _chunk_geometry(rec, t, lo, hi, grid_x, tile_w, tile_h, origin_y):
     """Shared forward-recompute: per-(pixel, entry) alpha and masks.
 
+    The record carries PRE-FOLDED conic coefficients c2{a,b,c} =
+    (-0.5*ca, -cb, -0.5*cc) (binning.emit_sorted_records) so the power
+    evaluates with three fused multiply-adds and no sign fixups.
+
     (A separable power-as-MXU-matmul variant — power[p,e] = pix6[p].w[e]
     — was tried and measured ~9 ms SLOWER per kernel pass than these
     elementwise VPU ops; the small contraction dim doesn't pay for the
     operand staging.)
     """
     mx, my = rec[0:1, :], rec[1:2, :]
-    ca, cb, cc = rec[2:3, :], rec[3:4, :], rec[4:5, :]
+    c2a, c2b, c2c = rec[2:3, :], rec[3:4, :], rec[4:5, :]
     rgb3 = rec[5:8, :]  # (3, CH)
     op = rec[8:9, :]
 
@@ -178,7 +180,7 @@ def _chunk_geometry(rec, t, lo, hi, grid_x, tile_w, tile_h, origin_y):
     myl = my - oy
     dx = mxl - pxl  # (TPX, CH)
     dy = myl - pyl
-    power = -0.5 * (ca * dx * dx + cc * dy * dy) - cb * dx * dy
+    power = c2a * (dx * dx) + c2c * (dy * dy) + c2b * (dx * dy)
     g = jnp.exp(power)
     raw = op * g
     alpha = jnp.minimum(ALPHA_MAX, raw)
@@ -187,9 +189,43 @@ def _chunk_geometry(rec, t, lo, hi, grid_x, tile_w, tile_h, origin_y):
         jnp.logical_not(in_range),
     )
     return dict(
-        ca=ca, cb=cb, cc=cc, rgb3=rgb3, op=op,
+        c2a=c2a, c2b=c2b, c2c=c2c, rgb3=rgb3, op=op,
         mxl=mxl, myl=myl, pxl=pxl, pyl=pyl,
         g=g, raw=raw, alpha=alpha, skip=skip, lane=lane,
+    )
+
+
+def _blend_state(geo, t_carry):
+    """Replay-exact compositing state for one CH-lane chunk.
+
+    Transmittance is reconstructed in log space: om = 1 - alpha of each
+    non-skipped entry, excl = exp(strict-prefix-sum(log om)) via one MXU
+    matmul. The forward and backward call THIS function with identical
+    inputs, so early-exit decisions replay bit-exactly.
+
+    Saturation is folded into the SIGN of the carry: a saturated pixel
+    stores -T_final, which makes every future `test` negative (< T_EPS),
+    so exclusion needs no separate `done` flag; |carry| is the final
+    transmittance (TPU early exit keeps it >= T_EPS, forward.cu:452-456).
+    """
+    alpha, skip = geo["alpha"], geo["skip"]
+    om = jnp.where(skip, 1.0, 1.0 - alpha)  # blend factor, 1 if skipped
+    excl = jnp.exp(_mm_scan(jnp.log(om), strict=True))
+    t_entry = t_carry * excl  # transmittance before entry i (negative if done)
+    test = t_entry * om  # monotone non-increasing along lanes
+    include = jnp.logical_and(jnp.logical_not(skip), test >= T_EPS)
+    wgt = jnp.where(include, alpha * t_entry, 0.0)  # (TPX, CH)
+    # carry update: |new| = T after the last included entry (monotone, so
+    # the masked min equals it); sign goes negative when the chunk's tail
+    # crossed the early-exit threshold (covers already-saturated carries).
+    base = jnp.minimum(
+        jnp.min(jnp.where(include, test, jnp.inf), axis=1, keepdims=True),
+        jnp.abs(t_carry),
+    )
+    new_t = jnp.where(test[:, CH - 1:CH] < T_EPS, -base, base)
+    return dict(
+        om=om, t_entry=t_entry, test=test, include=include, wgt=wgt,
+        new_t=new_t,
     )
 
 
@@ -197,7 +233,7 @@ def _fwd_kernel(
     vt_ref, ts_ref, tp_ref, vo_ref, oy_ref,  # scalar prefetch (compact)
     rec_ref,  # (16, BLK) at the visit's source block
     img_ref, ft_ref,  # outputs
-    t_s, done_s,  # scratch (TPX, 1)
+    t_s,  # scratch (TPX, 1): |T| carry, sign = saturated
     *, grid_x: int, tile_w: int, tile_h: int,
 ):
     w = pl.program_id(0)
@@ -211,76 +247,44 @@ def _fwd_kernel(
     def _():
         img_ref[...] = jnp.zeros_like(img_ref)
         t_s[...] = jnp.ones_like(t_s)
-        done_s[...] = jnp.zeros_like(done_s)
 
-    # Each CH-lane half of the BLK-entry block is processed separately so
-    # no prefix-scan roll crosses a lane-tile boundary; the transmittance
-    # carry in scratch chains the halves (and lets half B skip once half A
-    # saturated every pixel).
+    # Each CH-lane half of the BLK-entry block is processed separately
+    # (the matmul scan and its masks stay within one lane tile); the
+    # signed transmittance carry in scratch chains the halves (and lets
+    # half B skip once half A saturated every pixel).
     for h in range(HALVES):
         lo_h = jnp.clip(v_lo - h * CH, 0, CH)
         hi_h = jnp.clip(v_hi - h * CH, 0, CH)
-        rank0_h = v_rank0 + h * CH
-        not_saturated = jnp.logical_not(jnp.all(done_s[...] > 0.0))
+        not_saturated = jnp.logical_not(jnp.all(t_s[...] < 0.0))
         active = jnp.logical_and(
             jnp.logical_and(jnp.logical_not(v_dummy), not_saturated),
             hi_h > lo_h,
         )
 
         @pl.when(active)
-        def _(h=h, lo_h=lo_h, hi_h=hi_h, rank0_h=rank0_h):
+        def _(h=h, lo_h=lo_h, hi_h=hi_h):
             geo = _chunk_geometry(
                 rec_ref[:, h * CH:(h + 1) * CH], t, lo_h, hi_h,
                 grid_x, tile_w, tile_h, origin_y,
             )
-            alpha, skip = geo["alpha"], geo["skip"]
-            om = jnp.where(skip, 1.0, 1.0 - alpha)  # blend factor, 1 if skipped
-
-            cp = _lane_scan(om, jnp.multiply, 1.0)  # inclusive prefix product
-            excl = _shift_one(cp, 1.0)
-            t_carry = t_s[...]  # (TPX, 1)
-            t_entry = t_carry * excl
-            test = t_entry * om
-            # `test` is monotone non-increasing along lanes (om <= 1, flat
-            # on skipped lanes) and the carry never drops below T_EPS, so
-            # "at or past the first early-exit entry" is just test < eps
-            # (forward.cu:452-456) — no positional min-reduce needed, and
-            # "this chunk saturated" is the last lane's test.
-            badcum = test < T_EPS
-            done = done_s[...] > 0.0
-            include = jnp.logical_and(
-                jnp.logical_not(skip),
-                jnp.logical_and(jnp.logical_not(badcum), jnp.logical_not(done)),
-            )
-
-            wgt = jnp.where(include, alpha * t_entry, 0.0)  # (TPX, CH)
+            st = _blend_state(geo, t_s[...])
             contrib = jax.lax.dot_general(
-                geo["rgb3"], wgt, (((1,), (1,)), ((), ())),
+                geo["rgb3"], st["wgt"], (((1,), (1,)), ((), ())),
                 preferred_element_type=_f32, precision=_HI,
             )  # (3, TPX)
             img_ref[0] = img_ref[0] + contrib
-
-            # T after all included entries: T is monotone decreasing over
-            # the included lanes, so the post-entry transmittance min
-            # equals the product carry (Mosaic has no reduce_prod).
-            t_s[...] = jnp.minimum(
-                jnp.min(jnp.where(include, test, jnp.inf), axis=1, keepdims=True),
-                t_carry,
-            )
-            done_s[...] = jnp.maximum(
-                done_s[...], (test[:, CH - 1:CH] < T_EPS).astype(_f32)
-            )
+            t_s[...] = st["new_t"]
 
     @pl.when(jnp.logical_and(v_last, jnp.logical_not(v_dummy)))
     def _():
-        ft_ref[...] = t_s[...].reshape(1, 1, tpx)
+        ft_ref[...] = jnp.abs(t_s[...]).reshape(1, 1, tpx)
 
 
 def _bwd_kernel(
     vt_ref, ts_ref, tp_ref, vo_ref, oy_ref,  # scalar prefetch (compact)
     rec_ref, img_ref, g_ref, gft_ref, ft_ref,  # inputs
     drec_ref,  # output (16, BLK) at the visit's source block
-    t_s, pfx_s, done_s, tot_s,  # scratch (TPX, 1) x4
+    t_s, pfx_s, tot_s,  # scratch (TPX, 1) x3
     *, grid_x: int, tile_w: int, tile_h: int,
 ):
     w = pl.program_id(0)
@@ -306,7 +310,6 @@ def _bwd_kernel(
         tot_row = jnp.sum(g2 * acc2, axis=0, keepdims=True) + gft_ref[0] * ft_ref[0]
         tot_s[...] = tot_row.reshape(tpx, 1)
         t_s[...] = jnp.ones_like(t_s)
-        done_s[...] = jnp.zeros_like(done_s)
         pfx_s[...] = jnp.zeros_like(pfx_s)
 
     @pl.when(v_newblk)
@@ -321,7 +324,7 @@ def _bwd_kernel(
         # residual — possible because this backward walks FORWARD, unlike
         # the reference's back-to-front walk (backward.cu:485-490), and it
         # gives the same whole-chunk skip once every pixel is saturated.
-        not_saturated = jnp.logical_not(jnp.all(done_s[...] > 0.0))
+        not_saturated = jnp.logical_not(jnp.all(t_s[...] < 0.0))
         active = jnp.logical_and(
             jnp.logical_and(jnp.logical_not(v_dummy), not_saturated),
             hi_h > lo_h,
@@ -333,33 +336,20 @@ def _bwd_kernel(
             geo = _chunk_geometry(
                 rec_ref[:, sl], t, lo_h, hi_h, grid_x, tile_w, tile_h, origin_y
             )
-            alpha, skip = geo["alpha"], geo["skip"]
-            ca, cb, cc = geo["ca"], geo["cb"], geo["cc"]
+            st = _blend_state(geo, t_s[...])
+            alpha = geo["alpha"]
+            c2a, c2b, c2c = geo["c2a"], geo["c2b"], geo["c2c"]
             mxl, myl = geo["mxl"], geo["myl"]
             pxl, pyl = geo["pxl"], geo["pyl"]
-            rgb3 = geo["rgb3"]
-
-            om = jnp.where(skip, 1.0, 1.0 - alpha)  # forward's pre-gate om
-            cp = _lane_scan(om, jnp.multiply, 1.0)
-            excl = _shift_one(cp, 1.0)
-            t_carry = t_s[...]  # (TPX, 1)
-            t_i = t_carry * excl  # transmittance before entry i (== forward)
-            test = t_i * om
-            badcum = test < T_EPS
-            done = done_s[...] > 0.0
-            include = jnp.logical_and(
-                jnp.logical_not(skip),
-                jnp.logical_and(jnp.logical_not(badcum), jnp.logical_not(done)),
-            )
-            wgt = jnp.where(include, alpha * t_i, 0.0)
+            include, om, t_i, wgt = st["include"], st["om"], st["t_entry"], st["wgt"]
 
             g2 = g_ref[0]  # (3, TPX) image cotangent for this tile
             cg = jax.lax.dot_general(
-                g2, rgb3, (((0,), (0,)), ((), ())),
+                g2, geo["rgb3"], (((0,), (0,)), ((), ())),
                 preferred_element_type=_f32, precision=_HI,
             )  # (TPX, CH) = sum_c g[c,p] * rgb[c,i]
             cgw = cg * wgt
-            pfx_incl = _lane_scan(cgw, jnp.add, 0.0) + pfx_s[...]
+            pfx_incl = _mm_scan(cgw, strict=False) + pfx_s[...]
             a_i = tot_s[...] - pfx_incl  # suffix color dot g, incl final_t term
 
             dalpha = jnp.where(include, t_i * cg - a_i / om, 0.0)
@@ -371,6 +361,8 @@ def _bwd_kernel(
             # combinations of S_k = sum_p dpower * {1, px, py, px^2, py^2,
             # px*py}, and dop = S0 / op exactly (dpower = dalpha*op*g*gate).
             # Tile-local coords keep the expansion's cancellation benign.
+            # Gradients are wrt the STORED pre-folded fields c2{a,b,c};
+            # _render_core_bwd maps them back to the conic convention.
             s_mom = jax.lax.dot_general(
                 _pix6(pxl, pyl), dpower, (((0,), (0,)), ((), ())),
                 preferred_element_type=_f32, precision=_HI,
@@ -378,27 +370,23 @@ def _bwd_kernel(
             s0, s1x, s1y = s_mom[0:1], s_mom[1:2], s_mom[2:3]
             s2x, s2y, sxy = s_mom[3:4], s_mom[4:5], s_mom[5:6]
             dop = s0 / jnp.maximum(geo["op"], 1e-8)  # op >= 1/255 if included
-            dca = -0.5 * (mxl * mxl * s0 - 2.0 * mxl * s1x + s2x)
-            dcb = -(mxl * myl * s0 - mxl * s1y - myl * s1x + sxy)
-            dcc = -0.5 * (myl * myl * s0 - 2.0 * myl * s1y + s2y)
-            dmx = -(ca * (mxl * s0 - s1x) + cb * (myl * s0 - s1y))
-            dmy = -(cc * (myl * s0 - s1y) + cb * (mxl * s0 - s1x))
+            dc2a = mxl * mxl * s0 - 2.0 * mxl * s1x + s2x
+            dc2b = mxl * myl * s0 - mxl * s1y - myl * s1x + sxy
+            dc2c = myl * myl * s0 - 2.0 * myl * s1y + s2y
+            dmx = 2.0 * c2a * (mxl * s0 - s1x) + c2b * (myl * s0 - s1y)
+            dmy = 2.0 * c2c * (myl * s0 - s1y) + c2b * (mxl * s0 - s1x)
             drgb = jax.lax.dot_general(
                 g2, wgt, (((1,), (0,)), ((), ())),
                 preferred_element_type=_f32, precision=_HI,
             )  # (3, CH)
 
             pad = jnp.zeros((REC_ROWS - 9, CH), _f32)
-            rows = jnp.concatenate([dmx, dmy, dca, dcb, dcc, drgb, dop, pad], axis=0)
+            rows = jnp.concatenate(
+                [dmx, dmy, dc2a, dc2b, dc2c, drgb, dop, pad], axis=0
+            )
             drec_ref[:, sl] = drec_ref[:, sl] + rows
 
-            t_s[...] = jnp.minimum(
-                jnp.min(jnp.where(include, test, jnp.inf), axis=1, keepdims=True),
-                t_carry,
-            )
-            done_s[...] = jnp.maximum(
-                done_s[...], (test[:, CH - 1:CH] < T_EPS).astype(_f32)
-            )
+            t_s[...] = st["new_t"]
             pfx_s[...] = pfx_s[...] + jnp.sum(cgw, axis=1, keepdims=True)
 
 
@@ -422,7 +410,7 @@ def _fwd_call(cfg, rec, v: Visits, origin_y):
             pl.BlockSpec((1, 3, tpx), _visit_tile_map, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, tpx), _visit_tile_map, memory_space=pltpu.VMEM),
         ],
-        scratch_shapes=[pltpu.VMEM((tpx, 1), _f32)] * 2,
+        scratch_shapes=[pltpu.VMEM((tpx, 1), _f32)],
     )
     out_shape = [
         jax.ShapeDtypeStruct((num_tiles, 3, tpx), _f32),
@@ -461,7 +449,7 @@ def _bwd_call(cfg, rec, img, g_img, g_ft, ft, v: Visits, origin_y):
                 (REC_ROWS, BLK), _visit_block_map(nblocks), memory_space=pltpu.VMEM
             ),
         ],
-        scratch_shapes=[pltpu.VMEM((tpx, 1), _f32)] * 4,
+        scratch_shapes=[pltpu.VMEM((tpx, 1), _f32)] * 3,
     )
     (drec,) = pl.pallas_call(
         kernel,
@@ -556,7 +544,9 @@ def _render_core_bwd(cfg, res, cts):
     starts = ends - gcounts
     dcols = csum_rows[ends] - csum_rows[starts]
     dmeans2d = dcols[:, 0:2]
-    dconic = dcols[:, 2:5]
+    # records carry pre-folded c2 = (-0.5*ca, -cb, -0.5*cc); map the
+    # kernel's d/d_c2 back to the conic convention of `preprocess`.
+    dconic = dcols[:, 2:5] * jnp.asarray([-0.5, -1.0, -0.5], jnp.float32)
     drgb = dcols[:, 5:8]
     dop = dcols[:, 8]
     f0 = lambda shape: np.zeros(shape, jax.dtypes.float0)
