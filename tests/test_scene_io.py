@@ -2,6 +2,7 @@
 
 import os
 
+import jax
 import numpy as np
 import pytest
 
@@ -151,6 +152,58 @@ def test_blender_scene_end_to_end(tmp_path):
     rendered = np.clip(np.asarray(img), 0, 1)
     stored = cam.image.transpose(1, 2, 0)
     assert np.abs(rendered - stored).mean() < 2.5 / 255.0  # 8-bit quantization
+
+
+def test_golden_ply_fixture_roundtrip(tmp_path):
+    """Interop pinned by fixture: a checked-in reference-layout PLY (built
+    by the independent generator tests/fixtures/make_golden_ply.py, spec =
+    gaussian_model.py:277-308) must load, render, and re-save BYTE-identical
+    — so ecosystem compatibility does not rest on our own writer's
+    conventions."""
+    import math
+    import jax.numpy as jnp
+    from gaussian_splatting_tpu.ops.rasterize import RasterizerConfig, rasterize
+    from gaussian_splatting_tpu.scene.cameras import Camera
+
+    fixture = os.path.join(os.path.dirname(__file__), "fixtures",
+                           "golden_gaussians.ply")
+    golden_bytes = open(fixture, "rb").read()
+    params = ply.load_gaussians_ply(fixture, sh_degree=3)
+
+    # Spot-check values against the generator's formulas (independent).
+    P = 8
+    ang = np.arange(P, dtype=np.float32) * np.float32(2.0 * np.pi / P)
+    np.testing.assert_allclose(params["xyz"][:, 0], 0.8 * np.cos(ang), rtol=1e-6)
+    np.testing.assert_allclose(params["opacity"], np.full((P, 1), 2.0))
+    np.testing.assert_allclose(params["rotation"][:, 0], np.ones(P))
+    assert params["features_rest"].shape == (P, 15, 3)
+    # channel-major flattening: f_rest_17 is channel 1, coeff 2
+    np.testing.assert_allclose(
+        params["features_rest"][:, 2, 1],
+        0.01 * np.sin(1.0 + np.arange(P) + 7 + 2).astype(np.float32),
+        rtol=1e-6)
+
+    # It must render to a non-trivial image through the real pipeline.
+    cam = Camera(
+        uid=0, colmap_id=0, R=np.eye(3), T=np.array([0.0, 0.0, 3.0]),
+        fovx=math.radians(60), fovy=math.radians(60), image=None,
+        image_name="g", width=128, height=128)
+    shs = np.concatenate([params["features_dc"], params["features_rest"]], axis=1)
+    img, aux = rasterize(
+        jnp.asarray(params["xyz"]),
+        jnp.exp(jnp.asarray(params["scaling"])),
+        jnp.asarray(params["rotation"]),
+        jax.nn.sigmoid(jnp.asarray(params["opacity"][:, 0])),
+        jnp.asarray(shs), 3, cam.arrays(), 128, 128, jnp.zeros(3),
+        RasterizerConfig(backend="xla", capacity_mult=64, chunk=128),
+    )
+    assert int(aux["visible"].sum()) == P
+    assert float(jnp.abs(img).max()) > 0.1
+
+    # Byte-identical re-save.
+    out = str(tmp_path / "resaved.ply")
+    ply.save_gaussians_ply(out, params)
+    assert open(out, "rb").read() == golden_bytes
 
 
 def test_native_points3d_matches_python(tmp_path):
