@@ -25,8 +25,11 @@ import numpy as np
 
 # VGG16 conv layout: (out_channels, num convs) per stage before each pool.
 _VGG_STAGES = [(64, 2), (128, 2), (256, 3), (512, 3), (512, 3)]
-_NORM_MEAN = np.array([0.485, 0.456, 0.406], np.float32)
-_NORM_STD = np.array([0.229, 0.224, 0.225], np.float32)
+# z_score constants of the reference's BaseNet (lpipsPyTorch/modules/
+# networks.py:41-44) — the LPIPS v0.1 scaling layer, applied directly to
+# [0,1] inputs exactly as the vendored code does (NOT ImageNet mean/std).
+_NORM_MEAN = np.array([-0.030, -0.088, -0.188], np.float32)
+_NORM_STD = np.array([0.458, 0.448, 0.450], np.float32)
 
 
 @functools.lru_cache(maxsize=1)
@@ -84,8 +87,9 @@ def lpips_vgg(img1: jnp.ndarray, img2: jnp.ndarray) -> jnp.ndarray:
     f2 = _vgg_features(prep(img2), weights)
     total = 0.0
     for j, (a, b) in enumerate(zip(f1, f2)):
-        a = a / jnp.sqrt(jnp.sum(a * a, axis=1, keepdims=True) + 1e-10)
-        b = b / jnp.sqrt(jnp.sum(b * b, axis=1, keepdims=True) + 1e-10)
+        # normalize_activation (modules/utils.py:6-8): eps OUTSIDE the sqrt
+        a = a / (jnp.sqrt(jnp.sum(a * a, axis=1, keepdims=True)) + 1e-10)
+        b = b / (jnp.sqrt(jnp.sum(b * b, axis=1, keepdims=True)) + 1e-10)
         d = (a - b) ** 2
         w = weights[f"lin{j}_w"].reshape(1, -1, 1, 1)
         total = total + jnp.mean(jnp.sum(d * w, axis=1))

@@ -1,0 +1,137 @@
+"""LPIPS-vgg math pinned against an independent torch oracle.
+
+The reference runs lpipsPyTorch (modules/lpips.py, networks.py:88-96,
+utils.py:6-8) with torchvision VGG16 weights. No weights exist in this
+sandbox, so these tests generate a RANDOM weight set and check that
+ops/lpips.py computes the same function a faithful torch transcription of
+the reference modules computes — stage placement (ReLU outputs at
+torchvision feature indices 3/8/15/22/29), maxpool positions, the v0.1
+z_score constants, unit-normalization eps placement, 1x1 lin heads,
+mean(H,W) then sum over stages. A wrong stride/normalization/stage cut
+fails here regardless of which weights are later plugged in.
+"""
+
+import os
+
+import numpy as np
+import pytest
+import torch
+import torch.nn as nn
+
+from gaussian_splatting_tpu.ops import lpips as gs_lpips
+
+_VGG_STAGES = [(64, 2), (128, 2), (256, 3), (512, 3), (512, 3)]
+
+
+def make_random_weights(rng):
+    """Random VGG16-shaped conv stack + positive lin heads (npz dict)."""
+    out = {}
+    in_c = 3
+    ci = 0
+    for out_c, n_convs in _VGG_STAGES:
+        for _ in range(n_convs):
+            fan_in = in_c * 9
+            out[f"conv{ci}_w"] = (
+                rng.normal(0, np.sqrt(2.0 / fan_in), (out_c, in_c, 3, 3))
+            ).astype(np.float32)
+            out[f"conv{ci}_b"] = rng.normal(0, 0.02, out_c).astype(np.float32)
+            in_c = out_c
+            ci += 1
+    for j, (out_c, _) in enumerate(_VGG_STAGES):
+        out[f"lin{j}_w"] = rng.uniform(0.0, 0.2, out_c).astype(np.float32)
+    return out
+
+
+def torch_oracle_lpips(img1, img2, weights):
+    """Faithful torch transcription of the reference LPIPS modules."""
+    mean = torch.tensor([-0.030, -0.088, -0.188])[None, :, None, None]
+    std = torch.tensor([0.458, 0.448, 0.450])[None, :, None, None]
+
+    def features(img):
+        x = torch.from_numpy(img.transpose(2, 0, 1)[None].copy())
+        x = (x - mean) / std  # BaseNet.z_score (networks.py:50-51)
+        feats = []
+        ci = 0
+        for stage, (out_c, n_convs) in enumerate(_VGG_STAGES):
+            for _ in range(n_convs):
+                w = torch.from_numpy(weights[f"conv{ci}_w"])
+                b = torch.from_numpy(weights[f"conv{ci}_b"])
+                x = torch.relu(nn.functional.conv2d(x, w, b, 1, 1))
+                ci += 1
+            # target_layers = relu outputs (networks.py:95 with the
+            # 1-based enumerate in BaseNet.forward)
+            norm = torch.sqrt((x * x).sum(1, keepdim=True))
+            feats.append(x / (norm + 1e-10))  # utils.py:6-8
+            if stage < len(_VGG_STAGES) - 1:
+                x = nn.functional.max_pool2d(x, 2, 2)
+        return feats
+
+    f1, f2 = features(img1), features(img2)
+    total = torch.zeros(())
+    for j, (a, b) in enumerate(zip(f1, f2)):
+        d = (a - b) ** 2
+        lin = torch.from_numpy(weights[f"lin{j}_w"]).reshape(1, -1, 1, 1)
+        total = total + (d * lin).sum(1, keepdim=True).mean((2, 3)).squeeze()
+    return float(total)
+
+
+@pytest.fixture()
+def lpips_env(tmp_path, monkeypatch):
+    rng = np.random.default_rng(11)
+    weights = make_random_weights(rng)
+    path = str(tmp_path / "lpips_rand.npz")
+    np.savez(path, **weights)
+    monkeypatch.setenv("GS_TPU_LPIPS_WEIGHTS", path)
+    gs_lpips._load_weights.cache_clear()
+    yield weights
+    gs_lpips._load_weights.cache_clear()
+
+
+def test_lpips_matches_torch_oracle(lpips_env):
+    rng = np.random.default_rng(5)
+    img1 = rng.uniform(size=(64, 96, 3)).astype(np.float32)
+    img2 = np.clip(img1 + rng.normal(0, 0.1, img1.shape), 0, 1).astype(np.float32)
+
+    assert gs_lpips.lpips_available()
+    got = float(gs_lpips.lpips_vgg(img1, img2))
+    want = torch_oracle_lpips(img1, img2, lpips_env)
+    assert got == pytest.approx(want, rel=2e-4, abs=1e-6)
+    # self-distance is ~0, different images are not
+    assert float(gs_lpips.lpips_vgg(img1, img1)) == pytest.approx(0.0, abs=1e-6)
+    assert got > 1e-5
+
+
+def test_lpips_unavailable_without_weights(monkeypatch):
+    monkeypatch.delenv("GS_TPU_LPIPS_WEIGHTS", raising=False)
+    gs_lpips._load_weights.cache_clear()
+    assert not gs_lpips.lpips_available()
+    gs_lpips._load_weights.cache_clear()
+
+
+def test_metrics_cli_reports_lpips(tmp_path, lpips_env):
+    """End-to-end: the metrics CLI must pick up the weights and write real
+    LPIPS numbers into results.json/per_view.json."""
+    import imageio
+
+    from gaussian_splatting_tpu.cli import metrics as metrics_cli
+
+    model = tmp_path / "model"
+    rdir = model / "test" / "ours_7000" / "renders"
+    gdir = model / "test" / "ours_7000" / "gt"
+    rdir.mkdir(parents=True)
+    gdir.mkdir(parents=True)
+    rng = np.random.default_rng(9)
+    for i in range(2):
+        a = (rng.uniform(size=(48, 64, 3)) * 255).astype(np.uint8)
+        b = np.clip(a + rng.normal(0, 12, a.shape), 0, 255).astype(np.uint8)
+        imageio.imwrite(str(rdir / f"{i:05d}.png"), a)
+        imageio.imwrite(str(gdir / f"{i:05d}.png"), b)
+
+    metrics_cli.evaluate([str(model)])
+
+    import json
+    res = json.load(open(model / "results.json"))
+    lp = res["ours_7000"]["LPIPS"]
+    assert lp is not None and np.isfinite(lp) and lp > 0
+    pv = json.load(open(model / "per_view.json"))
+    assert len(pv["ours_7000"]["LPIPS"]) == 2
