@@ -535,14 +535,33 @@ def _render_core_bwd(cfg, res, cts):
     # optimization_barrier or Pallas-custom-call layout sandwiches all
     # failed: layout assignment adds copies on both sides instead.)
     dsorted = drec.T[ord2].T[:9]  # (9, K), gaussian-contiguous runs
-    csum = jnp.cumsum(dsorted, axis=1)  # lane-axis scan
-    csum_rows = jnp.concatenate(
-        [jnp.zeros((1, 9), jnp.float32), csum.T], axis=0
-    )  # (K+1, 9)
     # run boundaries: entries of gaussian g occupy [ends[g]-cnt[g], ends[g])
     ends = binning._cumsum_1d(gcounts)
     starts = ends - gcounts
-    dcols = csum_rows[ends] - csum_rows[starts]
+    # Run sums via prefix differences — but a raw global prefix sum makes
+    # the absolute rounding error of every run scale with the global
+    # running-sum magnitude (small-contribution gaussians lose their
+    # significant bits). Centering each row by its mean turns the linear
+    # prefix drift into a near-random walk, so ulp(prefix) stays close to
+    # run-local magnitudes; the subtracted mean is restored exactly per
+    # run as m * count. The tail past the last real entry is masked to
+    # zero (it is uninitialized never-visited block memory; runs never
+    # cover it, and masking keeps it out of the row means too).
+    n_real = ends[-1]
+    lane = jax.lax.broadcasted_iota(jnp.int32, dsorted.shape, 1)
+    real = lane < n_real
+    xm = jnp.where(real, dsorted, 0.0)
+    m = jnp.sum(xm, axis=1, keepdims=True) / jnp.maximum(
+        n_real.astype(jnp.float32), 1.0
+    )  # (9, 1)
+    csum = binning._cumsum_rows(jnp.where(real, dsorted - m, 0.0))
+    csum_rows = jnp.concatenate(
+        [jnp.zeros((1, 9), jnp.float32), csum.T], axis=0
+    )  # (K+1, 9)
+    dcols = (
+        csum_rows[ends] - csum_rows[starts]
+        + gcounts.astype(jnp.float32)[:, None] * m[:, 0][None, :]
+    )
     dmeans2d = dcols[:, 0:2]
     # records carry pre-folded c2 = (-0.5*ca, -cb, -0.5*cc); map the
     # kernel's d/d_c2 back to the conic convention of `preprocess`.

@@ -62,22 +62,39 @@ static PyObject* read_points3d_bin(PyObject*, PyObject* args) {
   uint64_t num;
   memcpy(&num, p, 8);
   p += 8;
+  // The count is untrusted input: each record is >= 51 bytes, so a claimed
+  // count the file cannot possibly hold is rejected before allocating.
+  if (num > static_cast<uint64_t>(end - p) / 51) {
+    PyErr_SetString(PyExc_ValueError, "points3D.bin count exceeds file size");
+    return nullptr;
+  }
 
   npy_intp dims_xyz[2] = {static_cast<npy_intp>(num), 3};
   npy_intp dims_n[1] = {static_cast<npy_intp>(num)};
   PyObject* xyz = PyArray_SimpleNew(2, dims_xyz, NPY_FLOAT64);
   PyObject* rgb = PyArray_SimpleNew(2, dims_xyz, NPY_UINT8);
   PyObject* err = PyArray_SimpleNew(1, dims_n, NPY_FLOAT64);
-  if (!xyz || !rgb || !err) return nullptr;
+  if (!xyz || !rgb || !err) {
+    Py_XDECREF(xyz);
+    Py_XDECREF(rgb);
+    Py_XDECREF(err);
+    return nullptr;
+  }
   double* xyz_d = static_cast<double*>(PyArray_DATA((PyArrayObject*)xyz));
   uint8_t* rgb_d = static_cast<uint8_t*>(PyArray_DATA((PyArrayObject*)rgb));
   double* err_d = static_cast<double*>(PyArray_DATA((PyArrayObject*)err));
+  auto fail = [&](const char* msg) -> PyObject* {
+    Py_DECREF(xyz);
+    Py_DECREF(rgb);
+    Py_DECREF(err);
+    PyErr_SetString(PyExc_ValueError, msg);
+    return nullptr;
+  };
 
   for (uint64_t i = 0; i < num; ++i) {
     // i64 id, f64 xyz[3], u8 rgb[3], f64 error, u64 track_len, track...
     if (end - p < 51) {
-      PyErr_SetString(PyExc_ValueError, "truncated points3D.bin record");
-      return nullptr;
+      return fail("truncated points3D.bin record");
     }
     p += 8;  // point id (unused; row index is the identity used downstream)
     memcpy(xyz_d + 3 * i, p, 24);
@@ -88,11 +105,13 @@ static PyObject* read_points3d_bin(PyObject*, PyObject* args) {
     p += 8;
     uint64_t tlen;
     memcpy(&tlen, p, 8);
-    p += 8 + 8 * tlen;  // skip (i32 image_id, i32 point2D_idx) pairs
-    if (p > end) {
-      PyErr_SetString(PyExc_ValueError, "truncated points3D.bin track");
-      return nullptr;
+    p += 8;
+    // Validate the untrusted track length BEFORE the pointer advance —
+    // a corrupt value must not overflow the arithmetic.
+    if (tlen > static_cast<uint64_t>(end - p) / 8) {
+      return fail("truncated points3D.bin track");
     }
+    p += 8 * tlen;  // skip (i32 image_id, i32 point2D_idx) pairs
   }
   return Py_BuildValue("(NNN)", xyz, rgb, err);
 }

@@ -224,6 +224,34 @@ def test_native_points3d_matches_python(tmp_path):
     np.testing.assert_allclose(ne, err)
 
 
+def test_native_points3d_rejects_corrupt_files(tmp_path):
+    """Untrusted count / track-length fields must raise, not crash."""
+    pytest.importorskip("gs_native", reason="native extension not built")
+    import struct
+
+    import gs_native
+
+    # absurd record count
+    p1 = str(tmp_path / "badcount.bin")
+    open(p1, "wb").write(struct.pack("<Q", 1 << 60))
+    with pytest.raises(ValueError):
+        gs_native.read_points3d_bin(p1)
+
+    # valid first record header but absurd track length
+    p2 = str(tmp_path / "badtrack.bin")
+    rec = struct.pack("<q", 1) + b"\0" * 24 + b"\0" * 3 + b"\0" * 8
+    rec += struct.pack("<Q", (1 << 62))
+    open(p2, "wb").write(struct.pack("<Q", 1) + rec)
+    with pytest.raises(ValueError):
+        gs_native.read_points3d_bin(p2)
+
+    # truncated mid-record
+    p3 = str(tmp_path / "trunc.bin")
+    open(p3, "wb").write(struct.pack("<Q", 2) + rec[:20])
+    with pytest.raises(ValueError):
+        gs_native.read_points3d_bin(p3)
+
+
 def test_native_knn_close_to_exact():
     """Native Morton 3-NN should be near the exact answer (approximation
     quality only affects initial scales, like the reference simple-knn)."""
