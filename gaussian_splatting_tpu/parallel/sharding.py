@@ -141,11 +141,13 @@ def make_sharded_train_step(
                 prep_local.means2d, prep_local.depths, prep_local.conic,
                 prep_local.rgb, prep_local.opacity,
                 prep_local.rect_min, prep_local.rect_max, prep_local.visible,
+                prep_local.radii,
             )
             rec = jax.tree.map(
                 lambda x: jax.lax.all_gather(x, axis, axis=0, tiled=True), rec
             )
-            means2d, depths, conic, rgb, opacity, rect_min, rect_max, visible = rec
+            (means2d, depths, conic, rgb, opacity, rect_min, rect_max,
+             visible, radii_full) = rec
             P_full = means2d.shape[0]
 
             # Clip every Gaussian's tile rect to my strip of tile rows.
@@ -162,7 +164,7 @@ def make_sharded_train_step(
             capacity = max(raster_cfg.capacity(P_full) // n, 256)
             prep_full = PreprocessOut(
                 means2d=means2d, depths=depths, conic=conic, rgb=rgb,
-                opacity=opacity, radii=jnp.zeros((P_full,), jnp.int32),
+                opacity=opacity, radii=radii_full,
                 rect_min=rect_min_l, rect_max=rect_max_l,
                 tiles_touched=tiles_l, visible=visible,
             )
