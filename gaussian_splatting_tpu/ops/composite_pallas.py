@@ -94,6 +94,53 @@ def _mm_scan(x: jnp.ndarray, strict: bool) -> jnp.ndarray:
     )
 
 
+_RELAYOUT_BLK = BLK  # capacity is always a BLK multiple
+
+
+def _to_rows_kernel(in_ref, out_ref):
+    out_ref[...] = in_ref[...].T
+
+
+def relayout_to_rows(x: jnp.ndarray) -> jnp.ndarray:
+    """(R, K) fields-on-sublanes -> (K, R) entries-on-sublanes, via a
+    streaming Pallas transpose whose Mosaic boundary PINS both layouts to
+    {1,0} (rows contiguous). XLA's layout assignment cannot propagate a
+    strided layout through a custom call, so a row gather consuming this
+    output reads contiguous 4*R-byte rows instead of R strided columns."""
+    r, k = x.shape
+    assert k % _RELAYOUT_BLK == 0, (r, k)
+    return pl.pallas_call(
+        _to_rows_kernel,
+        grid=(k // _RELAYOUT_BLK,),
+        in_specs=[
+            pl.BlockSpec((r, _RELAYOUT_BLK), lambda b: (0, b),
+                         memory_space=pltpu.VMEM)
+        ],
+        out_specs=pl.BlockSpec((_RELAYOUT_BLK, r), lambda b: (b, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((k, r), x.dtype),
+        interpret=_interpret(),
+    )(x)
+
+
+def relayout_to_cols(x: jnp.ndarray) -> jnp.ndarray:
+    """Inverse of relayout_to_rows: (K, R) -> (R, K)."""
+    k, r = x.shape
+    assert k % _RELAYOUT_BLK == 0, (k, r)
+    return pl.pallas_call(
+        _to_rows_kernel,
+        grid=(k // _RELAYOUT_BLK,),
+        in_specs=[
+            pl.BlockSpec((_RELAYOUT_BLK, r), lambda b: (b, 0),
+                         memory_space=pltpu.VMEM)
+        ],
+        out_specs=pl.BlockSpec((r, _RELAYOUT_BLK), lambda b: (0, b),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((r, k), x.dtype),
+        interpret=_interpret(),
+    )(x)
+
+
 def _visit_meta(w, vt_ref, ts_ref, tp_ref, vo_ref):
     """Derive a visit's metadata from the compact (T,)-sized range arrays.
 
@@ -530,11 +577,22 @@ def _render_core_bwd(cfg, res, cts):
     _, ord2 = jax.lax.sort(
         (gid, jnp.arange(k, dtype=jnp.int32)), num_keys=1, is_stable=False
     )
-    # (XLA insists on a {0,1}-layout gather here — each row strided
-    # across lane tiles, ~37 ms. Attempts to pin {1,0} via
-    # optimization_barrier or Pallas-custom-call layout sandwiches all
-    # failed: layout assignment adds copies on both sides instead.)
-    dsorted = drec.T[ord2].T[:9]  # (9, K), gaussian-contiguous runs
+    import os
+
+    if os.environ.get("GS_TPU_BWD_ROUTING", "relayout") == "relayout":
+        # drec is (16, K) with K-contiguous rows, so `drec.T[ord2]` would
+        # gather SULANE-strided columns: 16 scattered 4-byte reads per
+        # entry (~37 ms at 3M entries). Sandwich the gather between two
+        # streaming Pallas transposes instead: the Mosaic boundaries pin
+        # {1,0} layouts, the gather reads contiguous 64-byte rows
+        # (~15 ms, same as the forward record gather), and the two
+        # transposes stream at HBM bandwidth.
+        drec_rows = relayout_to_rows(drec)  # (K, 16), rows contiguous
+        dsorted = relayout_to_cols(drec_rows[ord2])[:9]
+    else:
+        # direct XLA gather (the {0,1}-layout strided form), kept for
+        # A/B measurement via GS_TPU_BWD_ROUTING=direct
+        dsorted = drec.T[ord2].T[:9]  # (9, K), gaussian-contiguous runs
     # run boundaries: entries of gaussian g occupy [ends[g]-cnt[g], ends[g])
     ends = binning._cumsum_1d(gcounts)
     starts = ends - gcounts
