@@ -94,6 +94,33 @@ def _mm_scan(x: jnp.ndarray, strict: bool) -> jnp.ndarray:
     )
 
 
+def _use_mm_scan() -> bool:
+    """A/B switch (read at trace time): MXU matmul scans vs Hillis-Steele
+    roll scans. Both are replay-exact (fwd and bwd share _blend_state)."""
+    import os
+
+    return os.environ.get("GS_TPU_LANE_SCAN", "mm") != "roll"
+
+
+def _lane_scan(x: jnp.ndarray, op, fill) -> jnp.ndarray:
+    """Inclusive lane-axis prefix scan via log2(CH) VPU roll steps —
+    the alternative to _mm_scan that stays off the MXU and (for products)
+    avoids the log/exp pair."""
+    lane = jax.lax.broadcasted_iota(_i32, x.shape, 1)
+    k = 1
+    while k < CH:
+        shifted = pltpu.roll(x, k, 1)
+        x = op(x, jnp.where(lane >= k, shifted, fill))
+        k *= 2
+    return x
+
+
+def _shift_one(x: jnp.ndarray, fill) -> jnp.ndarray:
+    """Shift lanes right by one, filling lane 0 (inclusive -> exclusive)."""
+    lane = jax.lax.broadcasted_iota(_i32, x.shape, 1)
+    return jnp.where(lane >= 1, pltpu.roll(x, 1, 1), fill)
+
+
 _RELAYOUT_BLK = BLK  # capacity is always a BLK multiple
 
 
@@ -257,7 +284,10 @@ def _blend_state(geo, t_carry):
     """
     alpha, skip = geo["alpha"], geo["skip"]
     om = jnp.where(skip, 1.0, 1.0 - alpha)  # blend factor, 1 if skipped
-    excl = jnp.exp(_mm_scan(jnp.log(om), strict=True))
+    if _use_mm_scan():
+        excl = jnp.exp(_mm_scan(jnp.log(om), strict=True))
+    else:
+        excl = _shift_one(_lane_scan(om, jnp.multiply, 1.0), 1.0)
     t_entry = t_carry * excl  # transmittance before entry i (negative if done)
     test = t_entry * om  # monotone non-increasing along lanes
     include = jnp.logical_and(jnp.logical_not(skip), test >= T_EPS)
@@ -396,7 +426,10 @@ def _bwd_kernel(
                 preferred_element_type=_f32, precision=_HI,
             )  # (TPX, CH) = sum_c g[c,p] * rgb[c,i]
             cgw = cg * wgt
-            pfx_incl = _mm_scan(cgw, strict=False) + pfx_s[...]
+            if _use_mm_scan():
+                pfx_incl = _mm_scan(cgw, strict=False) + pfx_s[...]
+            else:
+                pfx_incl = _lane_scan(cgw, jnp.add, 0.0) + pfx_s[...]
             a_i = tot_s[...] - pfx_incl  # suffix color dot g, incl final_t term
 
             dalpha = jnp.where(include, t_i * cg - a_i / om, 0.0)
