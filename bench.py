@@ -37,6 +37,9 @@ def main():
     chunk = int(os.environ.get("GS_BENCH_CHUNK", 1024))
     cap_mult = int(os.environ.get("GS_BENCH_CAPMULT", 8))
     mode = os.environ.get("GS_BENCH_MODE", "render")
+    tile_w = int(os.environ.get("GS_BENCH_TILE_W", 16))
+    tile_h = int(os.environ.get("GS_BENCH_TILE_H", 16))
+    tile_cull = os.environ.get("GS_BENCH_TILE_CULL", "1") != "0"
 
     rng = np.random.default_rng(0)
     means = jnp.asarray(rng.normal(0, 1.0, (P, 3)), jnp.float32)
@@ -63,7 +66,8 @@ def main():
     @jax.jit
     def count_entries():
         prep = preprocess(
-            means, scales, quats, opacities, shs, 3, cam, W, H, 16, 16
+            means, scales, quats, opacities, shs, 3, cam, W, H,
+            tile_w, tile_h, tile_cull=tile_cull,
         )
         return jnp.sum(prep.tiles_touched)
 
@@ -82,7 +86,8 @@ def main():
                 file=sys.stderr,
             )
     cfg = RasterizerConfig(
-        backend=backend, capacity_exact=capacity, chunk=chunk
+        backend=backend, capacity_exact=capacity, chunk=chunk,
+        tile_w=tile_w, tile_h=tile_h, tile_cull=tile_cull,
     )
 
     if mode == "train":

@@ -40,6 +40,32 @@ class TileLists(NamedTuple):
     total: jnp.ndarray  # () int32: true number of entries (may exceed K => overflow)
 
 
+def _select_tile_bit(lo: jnp.ndarray, hi: jnp.ndarray, local: jnp.ndarray):
+    """Map a gaussian-local surviving-tile index to its rect-local tile
+    position: the `local`-th set bit of the 64-bit cull bitmap lo|hi<<32
+    (projection.tile_cull_bitmaps). The (-1, -1) "full rect" sentinel
+    bypasses the search (bit == local), which also covers rects larger
+    than the 64-bit bitmap. Branch-free: a 2x32 half select plus a 5-step
+    popcount binary search, all int32 lane ops.
+    """
+    i32 = jnp.int32
+    pc = jax.lax.population_count
+    full = (lo & hi) == -1
+    c_lo = pc(lo)
+    use_hi = local >= c_lo
+    w = jnp.where(use_hi, hi, lo)
+    r = local - jnp.where(use_hi, c_lo, 0)
+    pos = jnp.zeros_like(local)
+    for step in (16, 8, 4, 2, 1):
+        low = pc(w & ((1 << step) - 1))
+        move = r >= low
+        r = r - jnp.where(move, low, 0)
+        w = jnp.where(move, jax.lax.shift_right_logical(w, step), w)
+        pos = pos + jnp.where(move, i32(step), 0)
+    bit = pos + jnp.where(use_hi, 32, 0)
+    return jnp.where(full, local, bit)
+
+
 def build_tile_lists(
     rect_min: jnp.ndarray,  # (P, 2) int32
     rect_max: jnp.ndarray,  # (P, 2) int32
@@ -48,6 +74,8 @@ def build_tile_lists(
     grid_x: int,
     grid_y: int,
     capacity: int,
+    cull_lo: jnp.ndarray | None = None,  # (P,) int32 cull bitmaps
+    cull_hi: jnp.ndarray | None = None,
 ) -> TileLists:
     P = depths.shape[0]
     num_tiles = grid_x * grid_y
@@ -64,6 +92,8 @@ def build_tile_lists(
 
     slot = jnp.arange(capacity, dtype=jnp.int32)
     local = slot - offsets[gauss_id]
+    if cull_lo is not None:
+        local = _select_tile_bit(cull_lo[gauss_id], cull_hi[gauss_id], local)
     rw = jnp.maximum(rect_max[gauss_id, 0] - rect_min[gauss_id, 0], 1)
     tile_x = rect_min[gauss_id, 0] + local % rw
     tile_y = rect_min[gauss_id, 1] + local // rw
@@ -85,9 +115,7 @@ def build_tile_lists(
         (tile_key, depth_key, gauss_id, valid), num_keys=2, is_stable=True
     )
 
-    tile_ids = jnp.arange(num_tiles, dtype=jnp.int32)
-    tile_start = jnp.searchsorted(s_tile, tile_ids, side="left").astype(jnp.int32)
-    tile_stop = jnp.searchsorted(s_tile, tile_ids, side="right").astype(jnp.int32)
+    tile_start, tile_stop = _tile_ranges(s_tile, num_tiles)
 
     return TileLists(
         gauss_id=s_gauss,
@@ -168,6 +196,22 @@ def _cummax_fill(marks: jnp.ndarray) -> jnp.ndarray:
     return jax.lax.cummax(marks) - 1
 
 
+def _tile_ranges(s_tile: jnp.ndarray, num_tiles: int):
+    """Per-tile [start, stop) ranges in the tile-sorted entry list.
+
+    One searchsorted instead of two: with s_tile ascending,
+    start[t] = #entries < t = #entries <= t-1 = stop[t-1], so the 'left'
+    search is just the 'right' search shifted by one tile (each
+    searchsorted lowers to a ~2.5 ms 22-step binary-search gather chain
+    at K~3M on v5e, so halving the searches saves ~2.5 ms/frame).
+    """
+    i32 = jnp.int32
+    tile_ids = jnp.arange(num_tiles, dtype=i32)
+    tile_stop = jnp.searchsorted(s_tile, tile_ids, side="right").astype(i32)
+    tile_start = jnp.concatenate([jnp.zeros((1,), i32), tile_stop[:-1]])
+    return tile_start, tile_stop
+
+
 def _cumsum_1d(x: jnp.ndarray) -> jnp.ndarray:
     """Exact inclusive 1-D cumsum via lane-major 2-level decomposition.
 
@@ -210,6 +254,8 @@ def emit_sorted_records(
     grid_x: int,
     grid_y: int,
     capacity: int,
+    cull_lo: jnp.ndarray | None = None,  # (P,) int32 cull bitmaps
+    cull_hi: jnp.ndarray | None = None,
 ) -> SortedRecords:
     p = depths.shape[0]
     k = capacity
@@ -285,6 +331,13 @@ def emit_sorted_records(
     slot = jnp.arange(k, dtype=i32)
     valid = slot < total_eff
     local = (slot - e_off_low) & off_mask
+    if cull_lo is not None:
+        # With exact tile culling, `local` indexes SURVIVING tiles; two
+        # more delta-cumsum columns carry each entry's cull bitmap and a
+        # popcount binary search maps it to its rect-local tile position.
+        e_lo = expand(cull_lo)
+        e_hi = expand(cull_hi)
+        local = _select_tile_bit(e_lo, e_hi, local)
     e_rw = jnp.maximum(e_geo & ((1 << _GEO_BITS) - 1), 1)
     e_ry = (e_geo >> _GEO_BITS) & ((1 << _GEO_BITS) - 1)
     e_rx = (e_geo >> (2 * _GEO_BITS)) & ((1 << _GEO_BITS) - 1)
@@ -325,12 +378,7 @@ def emit_sorted_records(
     )  # (P, REC_ROWS)
     rec = prow[jnp.minimum(s_gid, p - 1)].T  # (REC_ROWS, K)
 
-    # Per-tile ranges by binary search over the sorted tile keys (~5 ms;
-    # a rect-corner histogram was tried instead and its random-index 2-D
-    # scatters alone cost ~14 ms on v5e).
-    tile_ids = jnp.arange(num_tiles, dtype=i32)
-    tile_start = jnp.searchsorted(s_tile, tile_ids, side="left").astype(i32)
-    tile_stop = jnp.searchsorted(s_tile, tile_ids, side="right").astype(i32)
+    tile_start, tile_stop = _tile_ranges(s_tile, num_tiles)
     return SortedRecords(
         rec=rec, gauss_id=s_gid, counts=counts,
         tile_start=tile_start, tile_stop=tile_stop, total=total,

@@ -546,7 +546,8 @@ def _bwd_call(cfg, rec, img, g_img, g_ft, ft, v: Visits, origin_y):
 
 @partial(jax.custom_vjp, nondiff_argnums=(0,))
 def _render_core(
-    cfg, means2d, conic, rgb, opacity, depths, rect_min, rect_max, tiles, oy
+    cfg, means2d, conic, rgb, opacity, depths, rect_min, rect_max, tiles, oy,
+    cull,
 ):
     """Differentiable emit+sort+composite with a hand-written VJP.
 
@@ -556,19 +557,22 @@ def _render_core(
     gaussian ids, and the per-tile outputs only.
     """
     img, ft, _total, *_ = _render_core_fwd_impl(
-        cfg, means2d, conic, rgb, opacity, depths, rect_min, rect_max, tiles, oy
+        cfg, means2d, conic, rgb, opacity, depths, rect_min, rect_max, tiles,
+        oy, cull,
     )
     return img, ft
 
 
 def _render_core_fwd_impl(
-    cfg, means2d, conic, rgb, opacity, depths, rect_min, rect_max, tiles, oy
+    cfg, means2d, conic, rgb, opacity, depths, rect_min, rect_max, tiles, oy,
+    cull,
 ):
-    grid_x, grid_y, tile_w, tile_h, interp, capacity = cfg
+    grid_x, grid_y, tile_w, tile_h, interp, capacity, _has_cull = cfg
     num_tiles = grid_x * grid_y
+    cull_lo, cull_hi = cull if cull is not None else (None, None)
     sr = binning.emit_sorted_records(
         means2d, conic, rgb, opacity, depths, rect_min, rect_max, tiles,
-        grid_x, grid_y, capacity,
+        grid_x, grid_y, capacity, cull_lo=cull_lo, cull_hi=cull_hi,
     )
     v = binning.build_visits(sr.tile_start, sr.tile_stop, capacity, num_tiles)
     kcfg = (grid_x, grid_y, tile_w, tile_h, interp)
@@ -581,10 +585,12 @@ def _render_core_fwd_impl(
 
 
 def _render_core_fwd(
-    cfg, means2d, conic, rgb, opacity, depths, rect_min, rect_max, tiles, oy
+    cfg, means2d, conic, rgb, opacity, depths, rect_min, rect_max, tiles, oy,
+    cull,
 ):
     img, ft, _total, sr, v = _render_core_fwd_impl(
-        cfg, means2d, conic, rgb, opacity, depths, rect_min, rect_max, tiles, oy
+        cfg, means2d, conic, rgb, opacity, depths, rect_min, rect_max, tiles,
+        oy, cull,
     )
     p = means2d.shape[0]
     res = (sr.rec, sr.gauss_id, sr.counts, v, img, ft, oy, p)
@@ -594,7 +600,7 @@ def _render_core_fwd(
 def _render_core_bwd(cfg, res, cts):
     rec, gid, gcounts, v, img, ft, oy, p = res
     g_img, g_ft = cts
-    grid_x, grid_y, tile_w, tile_h, interp, capacity = cfg
+    grid_x, grid_y, tile_w, tile_h, interp, capacity, has_cull = cfg
     kcfg = (grid_x, grid_y, tile_w, tile_h, interp)
     drec = _bwd_call(kcfg, rec, img, g_img, g_ft, ft, v, oy)
 
@@ -662,9 +668,10 @@ def _render_core_bwd(cfg, res, cts):
     f0 = lambda shape: np.zeros(shape, jax.dtypes.float0)
     # Blend order is piecewise constant in depth: zero gradient, like the
     # reference (depth only orders the sort; backward.cu has no d/d-depth).
+    dcull = (f0((p,)), f0((p,))) if has_cull else None
     return (
         dmeans2d, dconic, drgb, dop, jnp.zeros((p,), rec.dtype),
-        f0((p, 2)), f0((p, 2)), f0((p,)), f0(oy.shape),
+        f0((p, 2)), f0((p, 2)), f0((p,)), f0(oy.shape), dcull,
     )
 
 
@@ -692,11 +699,15 @@ def render_tiles_pallas(
     # keep >= one trailing unused block so dummy visits have a safe target
     capacity = ((capacity + BLK - 1) // BLK) * BLK + BLK
 
-    cfg = (grid_x, grid_y, tile_w, tile_h, _interpret(), capacity)
+    cull = None
+    if prep.cull_lo is not None:
+        cull = (prep.cull_lo, prep.cull_hi)
+    cfg = (grid_x, grid_y, tile_w, tile_h, _interpret(), capacity,
+           cull is not None)
     oy = jnp.asarray(origin_y, jnp.int32).reshape(1)
     img_tiles, ft_tiles = _render_core(
         cfg, prep.means2d, prep.conic, prep.rgb, prep.opacity, prep.depths,
-        prep.rect_min, prep.rect_max, prep.tiles_touched, oy,
+        prep.rect_min, prep.rect_max, prep.tiles_touched, oy, cull,
     )
     total = jnp.sum(prep.tiles_touched)
 

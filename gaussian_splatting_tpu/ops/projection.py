@@ -37,6 +37,106 @@ class PreprocessOut(NamedTuple):
     rect_max: jnp.ndarray  # (P, 2) int32 tile rect (x, y) exclusive
     tiles_touched: jnp.ndarray  # (P,) int32
     visible: jnp.ndarray  # (P,) bool
+    # Exact per-tile cull bitmaps (None unless tile_cull=True): bit
+    # (dy * rect_w + dx) of lo|hi<<32 set iff rect tile (dx, dy) survives.
+    cull_lo: Optional[jnp.ndarray] = None  # (P,) int32
+    cull_hi: Optional[jnp.ndarray] = None  # (P,) int32
+
+
+_CULL_CAP_BITS = 64  # bitmap width: rects with more tiles keep all tiles
+
+
+def tile_cull_bitmaps(
+    mean2d: jnp.ndarray,  # (P, 2) pixel centers
+    conic: jnp.ndarray,  # (P, 3) [a, b, c] inverse 2D covariance
+    opacity: jnp.ndarray,  # (P,) activated
+    rect_min_x, rect_min_y, rect_w, rect_h,  # (P,) int32 tile rects
+    tile_w: int,
+    tile_h: int,
+):
+    """Exact (lossless) per-tile ellipse cull bitmaps.
+
+    The compositor blends a pixel only when alpha = op * exp(-Q) >= 1/255
+    (forward.cu:449), i.e. when the Mahalanobis form Q(d) = 0.5 (a dx^2 +
+    2 b dx dy + c dy^2) <= t := ln(255 op). A rect tile whose whole pixel
+    box has Q > t can therefore be dropped from the tile lists without
+    changing any blended pixel — the reference instead emits the full
+    AABB of the 3-sigma disc (auxiliary.h:48-58) and lets every pixel
+    re-test, which on elongated splats wastes ~25-50% of the sorted tile
+    entries. min_box Q is evaluated in closed form (convex quadratic:
+    interior iff the center is inside, else the min lies on one of the 4
+    edges, each a clamped 1-D minimization).
+
+    Returns (bm_lo, bm_hi, counts): two (P,) int32 bitmap halves over the
+    rect's row-major tile enumeration and the surviving-tile counts.
+    Rects with more than 64 tiles (or wider/taller than 8) keep all tiles
+    (counts = rect area, bitmaps = -1 sentinel meaning "full rect").
+    """
+    f32 = jnp.float32
+    i32 = jnp.int32
+    P = opacity.shape[0]
+
+    a = conic[:, 0].astype(f32)
+    b = conic[:, 1].astype(f32)
+    c = conic[:, 2].astype(f32)
+    mx = mean2d[:, 0].astype(f32)
+    my = mean2d[:, 1].astype(f32)
+    # keep-iff minQ <= t, with a hair of slack so 1-ulp disagreements with
+    # the kernel's linear-space alpha test stay on the conservative side.
+    t = jnp.log(jnp.maximum(255.0 * opacity.astype(f32), 1.0)) * (1.0 + 1e-6) + 1e-6
+    a_s = jnp.maximum(a, 1e-12)
+    c_s = jnp.maximum(c, 1e-12)
+
+    cap = 8  # loop bound per axis; area cap is _CULL_CAP_BITS
+    small = jnp.logical_and(
+        jnp.logical_and(rect_w <= cap, rect_h <= cap),
+        rect_w * rect_h <= _CULL_CAP_BITS,
+    )
+
+    def q(dx, dy):
+        return 0.5 * (a * dx * dx + 2.0 * b * dx * dy + c * dy * dy)
+
+    def edge_min_x(bx, by0, by1):
+        """min Q on the segment x = bx, y in [by0, by1]."""
+        y = jnp.clip(-b * bx / c_s, by0, by1)
+        return q(bx, y)
+
+    def edge_min_y(by, bx0, bx1):
+        x = jnp.clip(-b * by / a_s, bx0, bx1)
+        return q(x, by)
+
+    bm_lo = jnp.zeros((P,), i32)
+    bm_hi = jnp.zeros((P,), i32)
+    counts = jnp.zeros((P,), i32)
+    one = jnp.ones((P,), i32)
+    for dy in range(cap):
+        for dx in range(cap):
+            in_rect = jnp.logical_and(dx < rect_w, dy < rect_h)
+            # tile pixel-center box, relative to the splat center
+            bx0 = ((rect_min_x + dx) * tile_w).astype(f32) - mx
+            by0 = ((rect_min_y + dy) * tile_h).astype(f32) - my
+            bx1 = bx0 + (tile_w - 1)
+            by1 = by0 + (tile_h - 1)
+            inside = (bx0 <= 0.0) & (bx1 >= 0.0) & (by0 <= 0.0) & (by1 >= 0.0)
+            qmin = jnp.minimum(
+                jnp.minimum(edge_min_x(bx0, by0, by1), edge_min_x(bx1, by0, by1)),
+                jnp.minimum(edge_min_y(by0, bx0, bx1), edge_min_y(by1, bx0, bx1)),
+            )
+            keep = jnp.logical_and(
+                in_rect, jnp.logical_or(inside, qmin <= t)
+            )
+            shift = dy * rect_w + dx  # row-major rect-local bit index
+            bit = jnp.where(keep, one, 0) << jnp.clip(shift, 0, 31)
+            bm_lo = bm_lo | jnp.where(shift < 32, bit, 0)
+            bit_hi = jnp.where(keep, one, 0) << jnp.clip(shift - 32, 0, 31)
+            bm_hi = bm_hi | jnp.where(shift >= 32, bit_hi, 0)
+            counts = counts + keep.astype(i32)
+
+    full = rect_w * rect_h
+    bm_lo = jnp.where(small, bm_lo, -1)
+    bm_hi = jnp.where(small, bm_hi, -1)
+    counts = jnp.where(small, counts, full)
+    return bm_lo, bm_hi, counts
 
 
 def _transform_point(mat, p, w_row: bool):
@@ -65,6 +165,7 @@ def preprocess(
     alive: Optional[jnp.ndarray] = None,  # (P,) bool mask of real (non-padding) slots
     colors_precomp: Optional[jnp.ndarray] = None,  # (P, 3) overrides SH
     cov3d_precomp: Optional[jnp.ndarray] = None,  # (P, 6) overrides scale/quat
+    tile_cull: bool = False,  # exact per-tile ellipse cull (lossless)
 ) -> PreprocessOut:
     P = means3d.shape[0]
     f32 = jnp.float32
@@ -174,6 +275,17 @@ def preprocess(
     tiles = jnp.where(visible, tiles, 0)
     radii = jnp.where(visible, radius_f, 0.0).astype(jnp.int32)
 
+    # Exact per-tile cull AFTER radii/visible: the aux outputs (the
+    # reference's visibility_filter = radii > 0 and the densification
+    # stats) keep pre-cull semantics; only the emitted tile lists shrink.
+    cull_lo = cull_hi = None
+    if tile_cull:
+        cull_lo, cull_hi, tiles_kept = tile_cull_bitmaps(
+            mean2d, conic, opa, rmin_x, rmin_y,
+            rmax_x - rmin_x, rmax_y - rmin_y, tile_w, tile_h,
+        )
+        tiles = jnp.where(visible, tiles_kept, 0)
+
     # --- color (forward.cu:21-81) ---
     if colors_precomp is not None:
         rgb = colors_precomp.astype(f32)
@@ -191,4 +303,6 @@ def preprocess(
         rect_max=jnp.stack([rmax_x, rmax_y], axis=-1),
         tiles_touched=tiles,
         visible=visible,
+        cull_lo=cull_lo,
+        cull_hi=cull_hi,
     )

@@ -48,6 +48,11 @@ class RasterizerConfig:
     chunk: int = 256
     backend: str = "xla"
     capacity_exact: Optional[int] = None  # overrides capacity_mult when set
+    # Exact per-tile ellipse cull (projection.tile_cull_bitmaps): drops
+    # tile entries no pixel of which can pass the alpha >= 1/255 blend
+    # test. Lossless (image bit-identical); shrinks the sorted tile lists
+    # ~25-50% on anisotropic scenes, which shrinks every downstream stage.
+    tile_cull: bool = False
 
     def capacity(self, num_points: int) -> int:
         cap = (
@@ -73,6 +78,8 @@ def _xla_path(prep, config, grid_x, grid_y, width, height, bg):
         grid_x,
         grid_y,
         config.capacity(prep.depths.shape[0]),
+        cull_lo=prep.cull_lo,
+        cull_hi=prep.cull_hi,
     )
     out = composite.composite_tiles(
         prep,
@@ -136,6 +143,7 @@ def rasterize(
         alive=alive,
         colors_precomp=colors_precomp,
         cov3d_precomp=cov3d_precomp,
+        tile_cull=config.tile_cull,
     )
 
     grid_x = (width + config.tile_w - 1) // config.tile_w
