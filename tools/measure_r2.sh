@@ -1,18 +1,28 @@
 #!/bin/bash
 # Round-2 measurement batch: run once when the TPU tunnel is up.
-# Each line prints a labeled JSON result; total ~15-30 min incl. compiles.
+# Each line prints a labeled JSON result; total ~30-60 min incl. compiles.
 set -u
 cd "$(dirname "$0")/.."
 run() {
   local label="$1"; shift
   echo "=== $label ==="
-  timeout 1500 env "$@" python bench.py 2>&1 | tail -2
+  timeout 1800 env "$@" python bench.py 2>&1 | tail -2
 }
 
-run "render mm-scan relayout"   GS_TPU_LANE_SCAN=mm
+# K-reduction: exact tile cull on/off (the round-2 headline change)
+run "render cull=1 16x16"       GS_BENCH_TILE_CULL=1
+run "render cull=0 16x16"       GS_BENCH_TILE_CULL=0
+# tile-size matrix (cull on): smaller tiles fit the ellipse tighter so the
+# kernel does less pixel-x-entry work, at the price of more sorted entries
+run "render cull=1 16x8"        GS_BENCH_TILE_W=16 GS_BENCH_TILE_H=8
+run "render cull=1 8x16"        GS_BENCH_TILE_W=8 GS_BENCH_TILE_H=16
+run "render cull=1 32x8"        GS_BENCH_TILE_W=32 GS_BENCH_TILE_H=8
+run "render cull=1 16x32"       GS_BENCH_TILE_W=16 GS_BENCH_TILE_H=32
+# lane-scan + bwd-routing A/B (train)
+run "train cull mm relayout"    GS_BENCH_MODE=train GS_TPU_LANE_SCAN=mm GS_TPU_BWD_ROUTING=relayout
+run "train cull mm direct"      GS_BENCH_MODE=train GS_TPU_LANE_SCAN=mm GS_TPU_BWD_ROUTING=direct
+run "train cull roll relayout"  GS_BENCH_MODE=train GS_TPU_LANE_SCAN=roll GS_TPU_BWD_ROUTING=relayout
+run "train nocull mm relayout"  GS_BENCH_MODE=train GS_BENCH_TILE_CULL=0
 run "render roll-scan"          GS_TPU_LANE_SCAN=roll
-run "train mm relayout"         GS_BENCH_MODE=train GS_TPU_LANE_SCAN=mm GS_TPU_BWD_ROUTING=relayout
-run "train mm direct-routing"   GS_BENCH_MODE=train GS_TPU_LANE_SCAN=mm GS_TPU_BWD_ROUTING=direct
-run "train roll relayout"       GS_BENCH_MODE=train GS_TPU_LANE_SCAN=roll GS_TPU_BWD_ROUTING=relayout
 echo "=== stage profile (best flags: rerun manually after inspecting) ==="
 timeout 2400 python tools/profile_stages.py render routing 2>&1 | tail -20
