@@ -93,7 +93,12 @@ def build_tile_lists(
     slot = jnp.arange(capacity, dtype=jnp.int32)
     local = slot - offsets[gauss_id]
     if cull_lo is not None:
-        local = _select_tile_bit(cull_lo[gauss_id], cull_hi[gauss_id], local)
+        g_lo = cull_lo[gauss_id]
+        g_hi = (
+            cull_hi[gauss_id] if cull_hi is not None
+            else jnp.where(g_lo == -1, jnp.int32(-1), jnp.int32(0))
+        )
+        local = _select_tile_bit(g_lo, g_hi, local)
     rw = jnp.maximum(rect_max[gauss_id, 0] - rect_min[gauss_id, 0], 1)
     tile_x = rect_min[gauss_id, 0] + local % rw
     tile_y = rect_min[gauss_id, 1] + local // rw
@@ -332,11 +337,17 @@ def emit_sorted_records(
     valid = slot < total_eff
     local = (slot - e_off_low) & off_mask
     if cull_lo is not None:
-        # With exact tile culling, `local` indexes SURVIVING tiles; two
-        # more delta-cumsum columns carry each entry's cull bitmap and a
-        # popcount binary search maps it to its rect-local tile position.
+        # With exact tile culling, `local` indexes SURVIVING tiles; one
+        # or two more delta-cumsum columns carry each entry's cull bitmap
+        # and a popcount binary search maps it to its rect-local tile
+        # position. In the 32-bit mode (projection._cull_cap_bits) the hi
+        # half is derived from the lo == -1 "full rect" sentinel instead
+        # of a second expansion column.
         e_lo = expand(cull_lo)
-        e_hi = expand(cull_hi)
+        e_hi = (
+            expand(cull_hi) if cull_hi is not None
+            else jnp.where(e_lo == -1, jnp.int32(-1), jnp.int32(0))
+        )
         local = _select_tile_bit(e_lo, e_hi, local)
     e_rw = jnp.maximum(e_geo & ((1 << _GEO_BITS) - 1), 1)
     e_ry = (e_geo >> _GEO_BITS) & ((1 << _GEO_BITS) - 1)

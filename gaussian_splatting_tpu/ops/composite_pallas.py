@@ -652,13 +652,26 @@ def _render_core_bwd(cfg, res, cts):
         n_real.astype(jnp.float32), 1.0
     )  # (9, 1)
     csum = binning._cumsum_rows(jnp.where(real, dsorted - m, 0.0))
-    csum_rows = jnp.concatenate(
-        [jnp.zeros((1, 9), jnp.float32), csum.T], axis=0
-    )  # (K+1, 9)
-    dcols = (
-        csum_rows[ends] - csum_rows[starts]
-        + gcounts.astype(jnp.float32)[:, None] * m[:, 0][None, :]
-    )
+    if os.environ.get("GS_TPU_BOUNDARY_GATHER", "relayout") == "relayout":
+        # Run sums need csum at the P run boundaries. Gathering from
+        # `csum.T` directly lets XLA fold the transpose into a {0,1}
+        # output layout, turning each boundary row into 9 strided 4-byte
+        # reads (~6 ms per gather at P=262k). Pinning the transpose in a
+        # Pallas relayout makes both gathers contiguous 36-byte row reads.
+        # incl[-1] := 0 is realized by clamping the index and masking.
+        csum_rows = relayout_to_rows(csum)  # (K, 9), rows contiguous
+        top = csum_rows[jnp.maximum(ends - 1, 0)]
+        bot = csum_rows[jnp.maximum(starts - 1, 0)]
+        run = (
+            jnp.where((ends > 0)[:, None], top, 0.0)
+            - jnp.where((starts > 0)[:, None], bot, 0.0)
+        )
+    else:
+        csum_rows = jnp.concatenate(
+            [jnp.zeros((1, 9), jnp.float32), csum.T], axis=0
+        )  # (K+1, 9)
+        run = csum_rows[ends] - csum_rows[starts]
+    dcols = run + gcounts.astype(jnp.float32)[:, None] * m[:, 0][None, :]
     dmeans2d = dcols[:, 0:2]
     # records carry pre-folded c2 = (-0.5*ca, -cb, -0.5*cc); map the
     # kernel's d/d_c2 back to the conic convention of `preprocess`.
@@ -668,7 +681,12 @@ def _render_core_bwd(cfg, res, cts):
     f0 = lambda shape: np.zeros(shape, jax.dtypes.float0)
     # Blend order is piecewise constant in depth: zero gradient, like the
     # reference (depth only orders the sort; backward.cu has no d/d-depth).
-    dcull = (f0((p,)), f0((p,))) if has_cull else None
+    # has_cull: 0 = no cull, 1 = lo-only (32-bit bitmaps), 2 = lo+hi
+    dcull = (
+        None if has_cull == 0
+        else (f0((p,)), None) if has_cull == 1
+        else (f0((p,)), f0((p,)))
+    )
     return (
         dmeans2d, dconic, drgb, dop, jnp.zeros((p,), rec.dtype),
         f0((p, 2)), f0((p, 2)), f0((p,)), f0(oy.shape), dcull,
@@ -702,8 +720,8 @@ def render_tiles_pallas(
     cull = None
     if prep.cull_lo is not None:
         cull = (prep.cull_lo, prep.cull_hi)
-    cfg = (grid_x, grid_y, tile_w, tile_h, _interpret(), capacity,
-           cull is not None)
+    has_cull = 0 if cull is None else (1 if cull[1] is None else 2)
+    cfg = (grid_x, grid_y, tile_w, tile_h, _interpret(), capacity, has_cull)
     oy = jnp.asarray(origin_y, jnp.int32).reshape(1)
     img_tiles, ft_tiles = _render_core(
         cfg, prep.means2d, prep.conic, prep.rgb, prep.opacity, prep.depths,

@@ -46,6 +46,16 @@ class PreprocessOut(NamedTuple):
 _CULL_CAP_BITS = 64  # bitmap width: rects with more tiles keep all tiles
 
 
+def _cull_cap_bits() -> int:
+    """A/B switch (trace time): 64-bit bitmaps cull rects up to 64 tiles
+    but cost a second delta-cumsum expansion column (~3 ms at K~3M);
+    GS_TPU_CULL_BITS=32 trades culling on 33..64-tile rects (rare) for
+    dropping that column."""
+    import os
+
+    return 32 if os.environ.get("GS_TPU_CULL_BITS", "64") == "32" else 64
+
+
 def tile_cull_bitmaps(
     mean2d: jnp.ndarray,  # (P, 2) pixel centers
     conic: jnp.ndarray,  # (P, 3) [a, b, c] inverse 2D covariance
@@ -53,6 +63,7 @@ def tile_cull_bitmaps(
     rect_min_x, rect_min_y, rect_w, rect_h,  # (P,) int32 tile rects
     tile_w: int,
     tile_h: int,
+    cap_bits: int = _CULL_CAP_BITS,
 ):
     """Exact (lossless) per-tile ellipse cull bitmaps.
 
@@ -69,8 +80,12 @@ def tile_cull_bitmaps(
 
     Returns (bm_lo, bm_hi, counts): two (P,) int32 bitmap halves over the
     rect's row-major tile enumeration and the surviving-tile counts.
-    Rects with more than 64 tiles (or wider/taller than 8) keep all tiles
-    (counts = rect area, bitmaps = -1 sentinel meaning "full rect").
+    Rects with more than `cap_bits` tiles (or wider/taller than 8) keep
+    all tiles (counts = rect area, bitmaps = -1 sentinel meaning "full
+    rect"). With cap_bits=32, bm_hi is None (the downstream consumers
+    derive the sentinel from bm_lo == -1, which cannot collide with a
+    legitimate sub-32-tile bitmap: its bits past area-1 are zero, and at
+    area == 32 the all-ones bitmap maps identically to the sentinel).
     """
     f32 = jnp.float32
     i32 = jnp.int32
@@ -87,10 +102,10 @@ def tile_cull_bitmaps(
     a_s = jnp.maximum(a, 1e-12)
     c_s = jnp.maximum(c, 1e-12)
 
-    cap = 8  # loop bound per axis; area cap is _CULL_CAP_BITS
+    cap = 8  # loop bound per axis; area cap is cap_bits
     small = jnp.logical_and(
         jnp.logical_and(rect_w <= cap, rect_h <= cap),
-        rect_w * rect_h <= _CULL_CAP_BITS,
+        rect_w * rect_h <= cap_bits,
     )
 
     def q(dx, dy):
@@ -134,8 +149,10 @@ def tile_cull_bitmaps(
 
     full = rect_w * rect_h
     bm_lo = jnp.where(small, bm_lo, -1)
-    bm_hi = jnp.where(small, bm_hi, -1)
     counts = jnp.where(small, counts, full)
+    if cap_bits <= 32:
+        return bm_lo, None, counts
+    bm_hi = jnp.where(small, bm_hi, -1)
     return bm_lo, bm_hi, counts
 
 
@@ -283,6 +300,7 @@ def preprocess(
         cull_lo, cull_hi, tiles_kept = tile_cull_bitmaps(
             mean2d, conic, opa, rmin_x, rmin_y,
             rmax_x - rmin_x, rmax_y - rmin_y, tile_w, tile_h,
+            cap_bits=_cull_cap_bits(),
         )
         tiles = jnp.where(visible, tiles_kept, 0)
 

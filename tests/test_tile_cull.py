@@ -150,6 +150,42 @@ def test_cull_image_and_grads_identical(backend):
         np.testing.assert_allclose(a, b, atol=1e-3 * scale, rtol=1e-3)
 
 
+@pytest.mark.parametrize("backend", ["xla", "pallas"])
+def test_cull_bits32_and_boundary_gather_modes(backend, monkeypatch):
+    """GS_TPU_CULL_BITS=32 (lo-only bitmaps, sentinel-derived hi) and
+    GS_TPU_BOUNDARY_GATHER=concat must both reproduce the default path's
+    image and gradients (the 32-bit cull keeps strictly more tiles, all
+    of which are no-ops for the compositor; the boundary-gather modes are
+    the same sums via different gather layouts)."""
+    g = _scene(400, seed=5)
+    means, scales, quats, opacities, shs = g
+    cam = make_camera(W, H)
+    bg = jnp.asarray([0.2, 0.1, 0.0], jnp.float32)
+    cfg = RasterizerConfig(backend=backend, capacity_mult=32, tile_cull=True)
+
+    def render():
+        def f(m, o):
+            img, _ = rasterize(
+                m, scales, quats, o, shs, 2, cam.arrays(), W, H, bg, cfg,
+            )
+            return jnp.sum(img * img), img
+
+        (_, img), grads = jax.value_and_grad(f, argnums=(0, 1),
+                                             has_aux=True)(means, opacities)
+        return img, grads
+
+    img_ref, g_ref = render()
+    monkeypatch.setenv("GS_TPU_CULL_BITS", "32")
+    monkeypatch.setenv("GS_TPU_BOUNDARY_GATHER", "concat")
+    img_alt, g_alt = render()
+    np.testing.assert_allclose(np.asarray(img_alt), np.asarray(img_ref),
+                               atol=1e-6, rtol=0)
+    for a, b in zip(g_alt, g_ref):
+        a, b = np.asarray(a), np.asarray(b)
+        scale = max(np.abs(b).max(), 1e-8)
+        np.testing.assert_allclose(a, b, atol=1e-3 * scale, rtol=1e-3)
+
+
 def test_cull_reduces_entries():
     g = _scene(600, seed=4)
     p_on = _prep(g, tile_cull=True)
