@@ -18,7 +18,10 @@ run "render cull=1 16x8"        GS_BENCH_TILE_W=16 GS_BENCH_TILE_H=8
 run "render cull=1 8x16"        GS_BENCH_TILE_W=8 GS_BENCH_TILE_H=16
 run "render cull=1 32x8"        GS_BENCH_TILE_W=32 GS_BENCH_TILE_H=8
 run "render cull=1 16x32"       GS_BENCH_TILE_W=16 GS_BENCH_TILE_H=32
+run "render cull=1 bits32"      GS_TPU_CULL_BITS=32
 # lane-scan + bwd-routing A/B (train)
+run "train boundary concat"     GS_BENCH_MODE=train GS_TPU_BOUNDARY_GATHER=concat
+run "train cull bits32"         GS_BENCH_MODE=train GS_TPU_CULL_BITS=32
 run "train cull mm relayout"    GS_BENCH_MODE=train GS_TPU_LANE_SCAN=mm GS_TPU_BWD_ROUTING=relayout
 run "train cull mm direct"      GS_BENCH_MODE=train GS_TPU_LANE_SCAN=mm GS_TPU_BWD_ROUTING=direct
 run "train cull roll relayout"  GS_BENCH_MODE=train GS_TPU_LANE_SCAN=roll GS_TPU_BWD_ROUTING=relayout

@@ -54,11 +54,15 @@ bg = jnp.zeros(3, jnp.float32)
 GRID_X = (W + 15) // 16
 GRID_Y = (H + 15) // 16
 NUM_TILES = GRID_X * GRID_Y
+TILE_CULL = os.environ.get("GS_BENCH_TILE_CULL", "1") != "0"
 
 
 @jax.jit
 def _count():
-    prep = preprocess(means, scales, quats, opacities, shs, 3, cam, W, H, 16, 16)
+    prep = preprocess(
+        means, scales, quats, opacities, shs, 3, cam, W, H, 16, 16,
+        tile_cull=TILE_CULL,
+    )
     return jnp.sum(prep.tiles_touched)
 
 
@@ -93,7 +97,16 @@ def chain_time(fn, label, n=N_ITERS, reps=3):
 
 def _prep(c):
     return preprocess(
-        means + c * 0, scales, quats, opacities, shs, 3, cam, W, H, 16, 16
+        means + c * 0, scales, quats, opacities, shs, 3, cam, W, H, 16, 16,
+        tile_cull=TILE_CULL,
+    )
+
+
+def _emit(pr):
+    return binning.emit_sorted_records(
+        pr.means2d, pr.conic, pr.rgb, pr.opacity, pr.depths,
+        pr.rect_min, pr.rect_max, pr.tiles_touched, GRID_X, GRID_Y, CAP,
+        cull_lo=pr.cull_lo, cull_hi=pr.cull_hi,
     )
 
 
@@ -108,10 +121,7 @@ def stage_pre():
 def stage_emit():
     def f(c):
         pr = _prep(c)
-        sr = binning.emit_sorted_records(
-            pr.means2d, pr.conic, pr.rgb, pr.opacity, pr.depths,
-            pr.rect_min, pr.rect_max, pr.tiles_touched, GRID_X, GRID_Y, CAP,
-        )
+        sr = _emit(pr)
         # touch everything except rec (the gather output)
         return (
             jnp.sum(sr.gauss_id) + jnp.sum(sr.tile_start) + jnp.sum(sr.tile_stop)
@@ -123,10 +133,7 @@ def stage_emit():
 def stage_gather():
     def f(c):
         pr = _prep(c)
-        sr = binning.emit_sorted_records(
-            pr.means2d, pr.conic, pr.rgb, pr.opacity, pr.depths,
-            pr.rect_min, pr.rect_max, pr.tiles_touched, GRID_X, GRID_Y, CAP,
-        )
+        sr = _emit(pr)
         return jnp.sum(sr.rec[0]) + jnp.sum(sr.gauss_id).astype(jnp.float32)
 
     chain_time(f, "pre+emit+gather")
@@ -135,10 +142,7 @@ def stage_gather():
 def stage_visits():
     def f(c):
         pr = _prep(c)
-        sr = binning.emit_sorted_records(
-            pr.means2d, pr.conic, pr.rgb, pr.opacity, pr.depths,
-            pr.rect_min, pr.rect_max, pr.tiles_touched, GRID_X, GRID_Y, CAP,
-        )
+        sr = _emit(pr)
         v = binning.build_visits(sr.tile_start, sr.tile_stop, CAP, NUM_TILES)
         return (
             jnp.sum(sr.rec[0]) + jnp.sum(v.tile) + jnp.sum(v.voff)
@@ -148,7 +152,9 @@ def stage_visits():
 
 
 def stage_render():
-    cfg = RasterizerConfig(backend="pallas", capacity_exact=CAP)
+    cfg = RasterizerConfig(
+        backend="pallas", capacity_exact=CAP, tile_cull=TILE_CULL
+    )
 
     def f(c):
         img = rasterize(
@@ -162,7 +168,9 @@ def stage_render():
 
 def stage_sat():
     """Saturation diagnostics: how much kernel work is skippable."""
-    cfg = RasterizerConfig(backend="pallas", capacity_exact=CAP)
+    cfg = RasterizerConfig(
+        backend="pallas", capacity_exact=CAP, tile_cull=TILE_CULL
+    )
     img, aux = rasterize(
         means, scales, quats, opacities, shs, 3, cam, W, H, bg, cfg
     )
@@ -305,12 +313,76 @@ def stage_micro():
     chain_time(bscat, "boundary-scatter ranges")
 
 
+def stage_grad():
+    """Full forward+backward through rasterize (the train step's raster
+    part, without losses/Adam). Honors GS_TPU_* routing/scan env flags."""
+    cfg = RasterizerConfig(
+        backend="pallas", capacity_exact=CAP, tile_cull=TILE_CULL
+    )
+
+    def f(c):
+        def loss(m, o):
+            img = rasterize(
+                m, scales, quats, o, shs, 3, cam, W, H,
+                bg + c * 0, cfg, return_aux=False,
+            )
+            return jnp.sum(img * img)
+
+        g1, g2 = jax.grad(loss, argnums=(0, 1))(means, opacities)
+        return jnp.sum(g1) + jnp.sum(g2)
+
+    chain_time(f, "render fwd+bwd (pallas)")
+
+
+def stage_routing():
+    """The backward's gradient-routing chain on real shapes: (gid, iota)
+    sort + drec gather (relayout vs direct) + row cumsum + boundary
+    gathers (relayout vs concat). A/B via GS_TPU_BWD_ROUTING /
+    GS_TPU_BOUNDARY_GATHER."""
+    from gaussian_splatting_tpu.ops import composite_pallas as cp
+
+    K = CAP
+    rng2 = np.random.default_rng(2)
+    gid = jnp.sort(jnp.asarray(rng2.integers(0, P, K), jnp.int32))
+    drec = jnp.asarray(rng2.normal(size=(16, K)), jnp.float32)
+    gcounts = jnp.zeros((P,), jnp.int32).at[gid].add(1)
+
+    def f(c):
+        d = drec + c * 0
+        _, ord2 = jax.lax.sort(
+            (gid, jnp.arange(K, dtype=jnp.int32)), num_keys=1, is_stable=False
+        )
+        if os.environ.get("GS_TPU_BWD_ROUTING", "relayout") == "relayout":
+            dsorted = cp.relayout_to_cols(cp.relayout_to_rows(d)[ord2])[:9]
+        else:
+            dsorted = d.T[ord2].T[:9]
+        ends = binning._cumsum_1d(gcounts)
+        starts = ends - gcounts
+        csum = binning._cumsum_rows(dsorted)
+        if os.environ.get("GS_TPU_BOUNDARY_GATHER", "relayout") == "relayout":
+            rows = cp.relayout_to_rows(csum)
+            run = (
+                jnp.where((ends > 0)[:, None], rows[jnp.maximum(ends - 1, 0)], 0.0)
+                - jnp.where((starts > 0)[:, None], rows[jnp.maximum(starts - 1, 0)], 0.0)
+            )
+        else:
+            rows = jnp.concatenate(
+                [jnp.zeros((1, 9), jnp.float32), csum.T], axis=0
+            )
+            run = rows[ends] - rows[starts]
+        return jnp.sum(run)
+
+    chain_time(f, "bwd routing chain")
+
+
 STAGES = {
     "pre": stage_pre,
     "emit": stage_emit,
     "gather": stage_gather,
     "visits": stage_visits,
     "render": stage_render,
+    "grad": stage_grad,
+    "routing": stage_routing,
     "sat": stage_sat,
     "micro": stage_micro,
 }
