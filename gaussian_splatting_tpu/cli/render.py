@@ -102,6 +102,7 @@ def render_sets(dataset, iteration, pipe, skip_train=False, skip_test=False):
     raster_cfg = RasterizerConfig(
         tile_w=pipe.tile_size, tile_h=pipe.tile_size,
         capacity_mult=pipe.capacity_mult, backend=resolve_backend(pipe.backend),
+        tile_cull=pipe.tile_cull,
     )
     if not skip_train:
         render_set(

@@ -78,6 +78,10 @@ class PipelineParams(ParamGroup):
     backend: str = "auto"  # "auto" | "xla" | "pallas" | "reference"
     tile_size: int = 16
     capacity_mult: int = 8
+    # Exact per-tile ellipse cull (lossless; see ops/projection.
+    # tile_cull_bitmaps): shrinks the sorted tile lists ~25-50%. Off by
+    # default until the TPU A/B confirms it, then flipped.
+    tile_cull: bool = False
 
 
 @dataclass
