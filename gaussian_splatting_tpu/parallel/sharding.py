@@ -161,12 +161,34 @@ def make_sharded_train_step(
                 0,
             ).astype(jnp.int32)
 
+            cull_lo = cull_hi = None
+            if raster_cfg.tile_cull:
+                # Exact per-tile ellipse cull on the strip-CLIPPED rects,
+                # recomputed device-locally on the gathered records (the
+                # clipped rect is smaller than the global one, so the
+                # 64-tile bitmap cap bites less often than it would have
+                # pre-gather). rect y is strip-local; the bitmap test
+                # needs global pixel coordinates, hence + row_lo.
+                from gaussian_splatting_tpu.ops.projection import (
+                    _cull_cap_bits, tile_cull_bitmaps,
+                )
+
+                cull_lo, cull_hi, tiles_kept = tile_cull_bitmaps(
+                    means2d, conic, opacity,
+                    rect_min_l[:, 0], rect_min_l[:, 1] + row_lo,
+                    rect_max_l[:, 0] - rect_min_l[:, 0],
+                    rect_max_l[:, 1] - rect_min_l[:, 1],
+                    tw, th, cap_bits=_cull_cap_bits(),
+                )
+                tiles_l = jnp.where(visible, tiles_kept, 0).astype(jnp.int32)
+
             capacity = max(raster_cfg.capacity(P_full) // n, 256)
             prep_full = PreprocessOut(
                 means2d=means2d, depths=depths, conic=conic, rgb=rgb,
                 opacity=opacity, radii=radii_full,
                 rect_min=rect_min_l, rect_max=rect_max_l,
                 tiles_touched=tiles_l, visible=visible,
+                cull_lo=cull_lo, cull_hi=cull_hi,
             )
             if raster_cfg.backend == "pallas":
                 from gaussian_splatting_tpu.ops.composite_pallas import (
@@ -180,7 +202,7 @@ def make_sharded_train_step(
             else:
                 lists = binning.build_tile_lists(
                     rect_min_l, rect_max_l, depths, tiles_l, grid_x, rows_per,
-                    capacity,
+                    capacity, cull_lo=cull_lo, cull_hi=cull_hi,
                 )
                 out = composite.composite_tiles(
                     prep_full, lists, width, strip_h, tw, th, bg,
