@@ -28,4 +28,4 @@ run "train cull roll relayout"  GS_BENCH_MODE=train GS_TPU_LANE_SCAN=roll GS_TPU
 run "train nocull mm relayout"  GS_BENCH_MODE=train GS_BENCH_TILE_CULL=0
 run "render roll-scan"          GS_TPU_LANE_SCAN=roll
 echo "=== stage profile (best flags: rerun manually after inspecting) ==="
-timeout 2400 python tools/profile_stages.py render routing 2>&1 | tail -20
+timeout 3600 python tools/profile_stages.py pre emit gather render grad routing train 2>&1 | tail -30

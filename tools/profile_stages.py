@@ -375,8 +375,58 @@ def stage_routing():
     chain_time(f, "bwd routing chain")
 
 
+def stage_train():
+    """Full train step (render + L1/SSIM + backward + masked Adam) minus
+    the raster part timed by `grad` — the difference is losses+optimizer."""
+    from gaussian_splatting_tpu.scene.gaussians import GaussianParams
+    from gaussian_splatting_tpu.training import (
+        OptimizationConfig, init_train_state, train_step,
+    )
+
+    cfg = RasterizerConfig(
+        backend="pallas", capacity_exact=CAP, tile_cull=TILE_CULL
+    )
+    params = GaussianParams(
+        xyz=means,
+        features_dc=shs[:, :1],
+        features_rest=shs[:, 1:],
+        scaling=jnp.log(scales),
+        rotation=quats,
+        opacity=jnp.log(opacities / (1.0 - opacities))[:, None],
+    )
+    state0 = init_train_state(params, np.ones((P,), bool))
+    gt = jnp.asarray(
+        np.random.default_rng(9).uniform(size=(H, W, 3)), np.float32
+    )
+
+    kw = dict(
+        sh_degree=3, active_sh_degree=3, width=W, height=H,
+        raster_cfg=cfg, opt=OptimizationConfig(), spatial_lr_scale=1.0,
+    )
+
+    @jax.jit
+    def chain(s0):
+        def body(s, i):
+            s2, m = train_step(s, cam, gt, bg, i + 2, **kw)
+            return s2, m["loss"]
+
+        _, ls = jax.lax.scan(body, s0, jnp.arange(N_ITERS, dtype=jnp.int32))
+        return ls[-1]
+
+    import time as _t
+
+    float(chain(state0))
+    ts = []
+    for _ in range(3):
+        t0 = _t.perf_counter()
+        float(chain(state0))
+        ts.append(_t.perf_counter() - t0)
+    print(f"{'full train step':32s} {min(ts) / N_ITERS * 1000:8.2f} ms")
+
+
 STAGES = {
     "pre": stage_pre,
+    "train": stage_train,
     "emit": stage_emit,
     "gather": stage_gather,
     "visits": stage_visits,
