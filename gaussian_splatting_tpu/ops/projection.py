@@ -111,13 +111,16 @@ def tile_cull_bitmaps(
     def q(dx, dy):
         return 0.5 * (a * dx * dx + 2.0 * b * dx * dy + c * dy * dy)
 
+    b_over_c = b / c_s  # hoisted: the 8x8 loop below calls these 256 times
+    b_over_a = b / a_s
+
     def edge_min_x(bx, by0, by1):
         """min Q on the segment x = bx, y in [by0, by1]."""
-        y = jnp.clip(-b * bx / c_s, by0, by1)
+        y = jnp.clip(-b_over_c * bx, by0, by1)
         return q(bx, y)
 
     def edge_min_y(by, bx0, bx1):
-        x = jnp.clip(-b * by / a_s, bx0, bx1)
+        x = jnp.clip(-b_over_a * by, bx0, bx1)
         return q(x, by)
 
     bm_lo = jnp.zeros((P,), i32)
