@@ -102,6 +102,20 @@ def _use_mm_scan() -> bool:
     return os.environ.get("GS_TPU_LANE_SCAN", "mm") != "roll"
 
 
+def _use_mx_carry() -> bool:
+    """A/B switch: compute the chunk's transmittance carry as an MXU
+    masked log-sum matvec instead of a lane min-reduce. The min-reduce is
+    ~7-9 VPU ops per (pixel, entry) element (~15-20% of the compositing
+    kernels' lane-op budget); the matvec is one select plus a (TPX, CH) x
+    (CH, 1) MXU pass. Values agree to reduction rounding: by monotonicity
+    min over included test equals t_carry * exp(sum of log(1-alpha) over
+    lanes with test >= T_EPS) — skipped lanes contribute log(1) = 0, so
+    the unmasked-by-skip sum is already correct. Requires mm scan."""
+    import os
+
+    return _use_mm_scan() and os.environ.get("GS_TPU_CARRY", "min") == "mxsum"
+
+
 def _lane_scan(x: jnp.ndarray, op, fill) -> jnp.ndarray:
     """Inclusive lane-axis prefix scan via log2(CH) VPU roll steps —
     the alternative to _mm_scan that stays off the MXU and (for products)
@@ -284,21 +298,37 @@ def _blend_state(geo, t_carry):
     """
     alpha, skip = geo["alpha"], geo["skip"]
     om = jnp.where(skip, 1.0, 1.0 - alpha)  # blend factor, 1 if skipped
+    logom = None
     if _use_mm_scan():
-        excl = jnp.exp(_mm_scan(jnp.log(om), strict=True))
+        logom = jnp.log(om)
+        excl = jnp.exp(_mm_scan(logom, strict=True))
     else:
         excl = _shift_one(_lane_scan(om, jnp.multiply, 1.0), 1.0)
     t_entry = t_carry * excl  # transmittance before entry i (negative if done)
     test = t_entry * om  # monotone non-increasing along lanes
     include = jnp.logical_and(jnp.logical_not(skip), test >= T_EPS)
     wgt = jnp.where(include, alpha * t_entry, 0.0)  # (TPX, CH)
-    # carry update: |new| = T after the last included entry (monotone, so
-    # the masked min equals it); sign goes negative when the chunk's tail
-    # crossed the early-exit threshold (covers already-saturated carries).
-    base = jnp.minimum(
-        jnp.min(jnp.where(include, test, jnp.inf), axis=1, keepdims=True),
-        jnp.abs(t_carry),
-    )
+    # carry update: |new| = T after the last included entry; sign goes
+    # negative when the chunk's tail crossed the early-exit threshold
+    # (covers already-saturated carries).
+    if _use_mx_carry():
+        # T after last included entry = |t_carry| * prod over lanes with
+        # test >= T_EPS of om (skipped lanes have om = 1, logom = 0, so no
+        # skip mask is needed); with zero such lanes the sum is 0 and the
+        # carry magnitude is unchanged — exactly the min path's fallback.
+        row = jax.lax.dot_general(
+            jnp.where(test >= T_EPS, logom, 0.0),
+            jnp.ones((CH, 1), _f32),
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=_f32, precision=_HI,
+        )  # (TPX, 1)
+        base = jnp.abs(t_carry) * jnp.exp(row)
+    else:
+        # masked lane min-reduce (monotone, so the min IS the last value)
+        base = jnp.minimum(
+            jnp.min(jnp.where(include, test, jnp.inf), axis=1, keepdims=True),
+            jnp.abs(t_carry),
+        )
     new_t = jnp.where(test[:, CH - 1:CH] < T_EPS, -base, base)
     return dict(
         om=om, t_entry=t_entry, test=test, include=include, wgt=wgt,

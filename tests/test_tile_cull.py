@@ -198,3 +198,45 @@ def test_cull_reduces_entries():
     np.testing.assert_array_equal(
         np.asarray(p_on.radii), np.asarray(p_off.radii)
     )
+
+
+@pytest.mark.parametrize("flags", [
+    {"GS_TPU_CARRY": "mxsum"},
+    {"GS_TPU_CARRY": "mxsum", "GS_TPU_LANE_SCAN": "roll"},  # falls back to min
+])
+def test_carry_mode_mxsum_matches_min(flags, monkeypatch):
+    """GS_TPU_CARRY=mxsum (MXU masked log-sum carry) must reproduce the
+    min-reduce carry path: same image to reduction rounding, same
+    early-exit replay (deep opaque stack forces saturation)."""
+    means, scales, quats, opacities, shs = make_gaussians(
+        P=500, seed=9, scale_mu=-1.5
+    )
+    opacities = np.clip(opacities * 3.0, 0.0, 0.995)  # deep saturation
+    g = tuple(map(jnp.asarray, (means, scales, quats, opacities, shs)))
+    cam = make_camera(W, H)
+    bg = jnp.asarray([0.0, 0.5, 1.0], jnp.float32)
+    cfg = RasterizerConfig(backend="pallas", capacity_mult=48)
+
+    def render():
+        img, aux = rasterize(
+            *g, 2, cam.arrays(), W, H, bg, cfg,
+        )
+        return np.asarray(img), np.asarray(aux["final_t"])
+
+    img_min, ft_min = render()
+    for k, v in flags.items():
+        monkeypatch.setenv(k, v)
+    img_mx, ft_mx = render()
+    np.testing.assert_allclose(img_mx, img_min, atol=2e-5, rtol=0)
+    np.testing.assert_allclose(ft_mx, ft_min, atol=2e-5, rtol=0)
+
+    # gradients replay the same carries (bwd shares _blend_state)
+    def loss(m, o):
+        img, _ = rasterize(m, g[1], g[2], o, g[4], 2, cam.arrays(), W, H,
+                           bg, cfg)
+        return jnp.sum(img * img)
+
+    gm, go = jax.grad(loss, argnums=(0, 1))(g[0], g[3])
+    assert np.isfinite(np.asarray(gm)).all()
+    assert np.isfinite(np.asarray(go)).all()
+    assert float(jnp.abs(go).max()) > 0
