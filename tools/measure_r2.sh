@@ -26,6 +26,8 @@ run "train cull mm relayout"    GS_BENCH_MODE=train GS_TPU_LANE_SCAN=mm GS_TPU_B
 run "train cull mm direct"      GS_BENCH_MODE=train GS_TPU_LANE_SCAN=mm GS_TPU_BWD_ROUTING=direct
 run "train cull roll relayout"  GS_BENCH_MODE=train GS_TPU_LANE_SCAN=roll GS_TPU_BWD_ROUTING=relayout
 run "train nocull mm relayout"  GS_BENCH_MODE=train GS_BENCH_TILE_CULL=0
+run "render mxsum carry"        GS_TPU_CARRY=mxsum
+run "train mxsum carry"         GS_BENCH_MODE=train GS_TPU_CARRY=mxsum
 run "render roll-scan"          GS_TPU_LANE_SCAN=roll
 echo "=== stage profile (best flags: rerun manually after inspecting) ==="
 timeout 3600 python tools/profile_stages.py pre emit gather render grad routing train 2>&1 | tail -30
