@@ -18,6 +18,7 @@ instead reallocates its arena buffers dynamically).
 
 from __future__ import annotations
 
+import os
 from typing import NamedTuple
 
 import jax
@@ -247,6 +248,40 @@ def _cumsum_rows(x: jnp.ndarray) -> jnp.ndarray:
     return (cs + rowoff[:, :, None]).reshape(r, n)
 
 
+def _fused_expand() -> bool:
+    return os.environ.get("GS_TPU_EXPAND", "percol") == "fused"
+
+
+def _expand_many(cols, offs, k):
+    """Expand C per-gaussian i32 columns to per-entry values with ONE
+    scatter + ONE lane-major multi-row cumsum, instead of C separate
+    (scatter, cumsum) pairs.
+
+    The per-column path costs ~3 ms each on v5e (a monotone P-scatter is
+    ~2.3 ms, mostly issue latency, plus a ~0.7 ms K-cumsum); fusing lays
+    the C delta streams out in one flat (C*K,) buffer at indices
+    c*K + offs — still globally monotone, so XLA keeps the fast scatter
+    path — and the (C, K) reshape makes all C prefix sums share one
+    reduce-window sweep across sublanes. A/B via GS_TPU_EXPAND=fused.
+    """
+    i32 = jnp.int32
+    c = len(cols)
+    stacked = jnp.stack(cols, axis=0)  # (C, P)
+    deltas = stacked - jnp.concatenate(
+        [jnp.zeros((c, 1), i32), stacked[:, :-1]], axis=1
+    )
+    # Out-of-capacity offsets must be dropped explicitly: c*K + offs with
+    # offs >= K would otherwise land inside the NEXT column's region.
+    idx = jnp.where(
+        offs[None, :] < k,
+        jnp.arange(c, dtype=i32)[:, None] * k + offs[None, :],
+        c * k,
+    )
+    z = jnp.zeros((c * k,), i32).at[idx.ravel()].add(deltas.ravel(), mode="drop")
+    out = _cumsum_rows(z.reshape(c, k))
+    return [out[i] for i in range(c)]
+
+
 def emit_sorted_records(
     means2d: jnp.ndarray,  # (P, 2)
     conic: jnp.ndarray,  # (P, 3)
@@ -311,13 +346,6 @@ def emit_sorted_records(
     pack_gid = p <= (1 << (32 - off_bits))
     if num_tiles > (1 << off_bits):
         raise ValueError("tile grid exceeds the 14-bit local-index packing")
-    if pack_gid:
-        e_go = expand((iota_p << off_bits) | (offs & off_mask))
-        e_gid = jax.lax.shift_right_logical(e_go, off_bits)
-        e_off_low = e_go & off_mask
-    else:
-        e_gid = expand(iota_p)
-        e_off_low = expand(offs) & off_mask
 
     # Column 2: rect geometry; column 3: f32 depth BIT PATTERN (positive
     # floats order like their int bits, and bit-pattern deltas telescope
@@ -328,10 +356,32 @@ def emit_sorted_records(
         | (rect_min[:, 1] << _GEO_BITS)
         | rw
     )
-    e_geo = expand(geo)
-    e_depth = expand(
-        jax.lax.bitcast_convert_type(depths.astype(f32), i32)
+    depth_bits = jax.lax.bitcast_convert_type(depths.astype(f32), i32)
+
+    src_cols = (
+        [(iota_p << off_bits) | (offs & off_mask)]
+        if pack_gid
+        else [iota_p, offs]
     )
+    src_cols += [geo, depth_bits]
+    if cull_lo is not None:
+        src_cols.append(cull_lo)
+        if cull_hi is not None:
+            src_cols.append(cull_hi)
+    if _fused_expand():
+        e_cols = _expand_many(src_cols, offs, k)
+    else:
+        e_cols = [expand(c) for c in src_cols]
+
+    if pack_gid:
+        e_go = e_cols.pop(0)
+        e_gid = jax.lax.shift_right_logical(e_go, off_bits)
+        e_off_low = e_go & off_mask
+    else:
+        e_gid = e_cols.pop(0)
+        e_off_low = e_cols.pop(0) & off_mask
+    e_geo = e_cols.pop(0)
+    e_depth = e_cols.pop(0)
 
     slot = jnp.arange(k, dtype=i32)
     valid = slot < total_eff
@@ -343,9 +393,9 @@ def emit_sorted_records(
         # position. In the 32-bit mode (projection._cull_cap_bits) the hi
         # half is derived from the lo == -1 "full rect" sentinel instead
         # of a second expansion column.
-        e_lo = expand(cull_lo)
+        e_lo = e_cols.pop(0)
         e_hi = (
-            expand(cull_hi) if cull_hi is not None
+            e_cols.pop(0) if cull_hi is not None
             else jnp.where(e_lo == -1, jnp.int32(-1), jnp.int32(0))
         )
         local = _select_tile_bit(e_lo, e_hi, local)

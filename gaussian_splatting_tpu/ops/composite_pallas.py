@@ -102,6 +102,14 @@ def _use_mm_scan() -> bool:
     return os.environ.get("GS_TPU_LANE_SCAN", "mm") != "roll"
 
 
+def _use_horner_power() -> bool:
+    """A/B switch: Horner-factored power polynomial (fewer lane ops,
+    different f32 rounding) vs the parity moment form."""
+    import os
+
+    return os.environ.get("GS_TPU_POWER", "moment") == "horner"
+
+
 def _use_mx_carry() -> bool:
     """A/B switch: compute the chunk's transmittance carry as an MXU
     masked log-sum matvec instead of a lane min-reduce. The min-reduce is
@@ -268,14 +276,21 @@ def _chunk_geometry(rec, t, lo, hi, grid_x, tile_w, tile_h, origin_y):
     myl = my - oy
     dx = mxl - pxl  # (TPX, CH)
     dy = myl - pyl
-    power = c2a * (dx * dx) + c2c * (dy * dy) + c2b * (dx * dy)
+    if _use_horner_power():
+        # Horner-factored quadratic: 2 fewer full-size lane ops (and FMA-
+        # fusable) than the moment form, at the cost of a different f32
+        # rounding. Replay-exact (fwd and bwd share this code path).
+        power = (c2a * dx + c2b * dy) * dx + (c2c * dy) * dy
+    else:
+        power = c2a * (dx * dx) + c2c * (dy * dy) + c2b * (dx * dy)
     g = jnp.exp(power)
     raw = op * g
     alpha = jnp.minimum(ALPHA_MAX, raw)
-    skip = jnp.logical_or(
-        jnp.logical_or(power > 0.0, alpha < ALPHA_MIN),
-        jnp.logical_not(in_range),
-    )
+    # the lane-range mask rides the alpha threshold ((1, CH) select)
+    # instead of a third full-size logical_or: alpha < inf is always true
+    # for the finite alphas here, so `skip` is bitwise identical.
+    a_thr = jnp.where(in_range, ALPHA_MIN, jnp.inf)
+    skip = jnp.logical_or(power > 0.0, alpha < a_thr)
     return dict(
         c2a=c2a, c2b=c2b, c2c=c2c, rgb3=rgb3, op=op,
         mxl=mxl, myl=myl, pxl=pxl, pyl=pyl,

@@ -29,5 +29,7 @@ run "train nocull mm relayout"  GS_BENCH_MODE=train GS_BENCH_TILE_CULL=0
 run "render mxsum carry"        GS_TPU_CARRY=mxsum
 run "train mxsum carry"         GS_BENCH_MODE=train GS_TPU_CARRY=mxsum
 run "render roll-scan"          GS_TPU_LANE_SCAN=roll
+run "render fused expand"       GS_TPU_EXPAND=fused
+run "train fused expand"        GS_BENCH_MODE=train GS_TPU_EXPAND=fused
 echo "=== stage profile (best flags: rerun manually after inspecting) ==="
 timeout 3600 python tools/profile_stages.py pre emit gather render grad routing train 2>&1 | tail -30
