@@ -477,9 +477,12 @@ def _bwd_kernel(
                 pfx_incl = _lane_scan(cgw, jnp.add, 0.0) + pfx_s[...]
             a_i = tot_s[...] - pfx_incl  # suffix color dot g, incl final_t term
 
+            # clamp gate folded into the select mask (one fewer full-size
+            # multiply; bitwise-identical dpower: x*1.0 is exact and the
+            # gated-out branch was an exact 0 either way)
+            live = jnp.logical_and(include, geo["raw"] < ALPHA_MAX)
             dalpha = jnp.where(include, t_i * cg - a_i / om, 0.0)
-            gate = (geo["raw"] < ALPHA_MAX).astype(_f32)
-            dpower = dalpha * alpha * gate
+            dpower = jnp.where(live, dalpha * alpha, 0.0)
 
             # All pixel-axis reductions as ONE moment matmul on the MXU:
             # dx = mxl - pxl is separable, so d{conic, mean2d} are linear

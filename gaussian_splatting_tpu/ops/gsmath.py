@@ -40,6 +40,17 @@ SH_C3 = (
     1.445305721320277,
     -0.5900435899266435,
 )
+SH_C4 = (
+    2.5033429417967046,
+    -1.7701307697799304,
+    0.9461746957575601,
+    -0.6690465435572892,
+    0.10578554691520431,
+    -0.6690465435572892,
+    0.47308734787878004,
+    -1.7701307697799304,
+    0.6258357354491761,
+)
 
 
 def normalize_quat(q):
@@ -111,12 +122,14 @@ def build_cov3d(scales, quats, scale_modifier=1.0):
 
 
 def eval_sh(deg: int, sh, dirs):
-    """Evaluate real SH basis, degree 0..3.
+    """Evaluate real SH basis, degree 0..4.
 
     sh: (..., K, 3) coefficients with K >= (deg+1)^2 (DC first);
     dirs: (..., 3) unit view directions. Returns (..., 3) raw color
     (before the +0.5 offset / clamp). Matches forward.cu:21-73 and
-    utils/sh_utils.py:57-112 ordering.
+    utils/sh_utils.py:57-112 ordering (degree 4 exists only on the
+    reference's Python path; its CUDA rasterizer, like the training
+    pipeline here, caps at 3).
     """
     result = SH_C0 * sh[..., 0, :]
     if deg > 0:
@@ -148,6 +161,19 @@ def eval_sh(deg: int, sh, dirs):
                     + SH_C3[5] * z * (xx - yy) * sh[..., 14, :]
                     + SH_C3[6] * x * (xx - 3.0 * yy) * sh[..., 15, :]
                 )
+                if deg > 3:
+                    result = (
+                        result
+                        + SH_C4[0] * xy * (xx - yy) * sh[..., 16, :]
+                        + SH_C4[1] * yz * (3.0 * xx - yy) * sh[..., 17, :]
+                        + SH_C4[2] * xy * (7.0 * zz - 1.0) * sh[..., 18, :]
+                        + SH_C4[3] * yz * (7.0 * zz - 3.0) * sh[..., 19, :]
+                        + SH_C4[4] * (zz * (35.0 * zz - 30.0) + 3.0) * sh[..., 20, :]
+                        + SH_C4[5] * xz * (7.0 * zz - 3.0) * sh[..., 21, :]
+                        + SH_C4[6] * (xx - yy) * (7.0 * zz - 1.0) * sh[..., 22, :]
+                        + SH_C4[7] * xz * (xx - 3.0 * yy) * sh[..., 23, :]
+                        + SH_C4[8] * (xx * (xx - 3.0 * yy) - yy * (3.0 * xx - yy)) * sh[..., 24, :]
+                    )
     return result
 
 

@@ -285,13 +285,25 @@ def preprocess(
     grid_x = (width + tile_w - 1) // tile_w
     grid_y = (height + tile_h - 1) // tile_h
     px, py = mean2d[..., 0], mean2d[..., 1]
-    rmin_x = jnp.clip(jnp.floor((px - half_x) / tile_w), 0, grid_x).astype(jnp.int32)
-    rmin_y = jnp.clip(jnp.floor((py - half_y) / tile_h), 0, grid_y).astype(jnp.int32)
-    rmax_x = jnp.clip(jnp.floor((px + half_x + tile_w - 1) / tile_w), 0, grid_x).astype(jnp.int32)
-    rmax_y = jnp.clip(jnp.floor((py + half_y + tile_h - 1) / tile_h), 0, grid_y).astype(jnp.int32)
-    tiles = (rmax_x - rmin_x) * (rmax_y - rmin_y)
 
-    visible = jnp.logical_and(jnp.logical_and(in_front, det_ok), tiles > 0)
+    def rect(hx, hy):
+        r0x = jnp.clip(jnp.floor((px - hx) / tile_w), 0, grid_x).astype(jnp.int32)
+        r0y = jnp.clip(jnp.floor((py - hy) / tile_h), 0, grid_y).astype(jnp.int32)
+        r1x = jnp.clip(jnp.floor((px + hx + tile_w - 1) / tile_w), 0, grid_x).astype(jnp.int32)
+        r1y = jnp.clip(jnp.floor((py + hy + tile_h - 1) / tile_h), 0, grid_y).astype(jnp.int32)
+        return r0x, r0y, r1x, r1y, (r1x - r0x) * (r1y - r0y)
+
+    rmin_x, rmin_y, rmax_x, rmax_y, tiles = rect(half_x, half_y)
+    # `visible` (the reference's visibility_filter / densify-stat gate,
+    # getRect at forward.cu:300-304 with the FULL 3*sigma radius) must not
+    # see the opacity-tightened rect: a splat with activated opacity
+    # < 1/255 has half extents 0 and can lose its rect here while the
+    # reference still counts it (radii > 0) — so gate visibility on the
+    # untightened square's tile count instead (tight rect is a subset, so
+    # tiles > 0 implies tiles_ref > 0).
+    *_, tiles_ref = rect(radius_f, radius_f)
+
+    visible = jnp.logical_and(jnp.logical_and(in_front, det_ok), tiles_ref > 0)
     tiles = jnp.where(visible, tiles, 0)
     radii = jnp.where(visible, radius_f, 0.0).astype(jnp.int32)
 

@@ -101,3 +101,62 @@ def test_rgb_sh_roundtrip():
     rgb = np.array([[0.1, 0.5, 0.9]], np.float32)
     back = np.asarray(gsmath.sh_to_rgb_dc(gsmath.rgb_to_sh(jnp.array(rgb))))
     np.testing.assert_allclose(back, rgb, atol=1e-6)
+
+
+def test_sh_oracle_deg4():
+    """Degree-4 terms against utils/sh_utils.py:95-112 (Python-only in the
+    reference; its CUDA path caps at 3)."""
+    rng = np.random.default_rng(5)
+    sh = rng.normal(size=(8, 25, 3)).astype(np.float32)
+    d = rng.normal(size=(8, 3)).astype(np.float32)
+    d = d / np.linalg.norm(d, axis=1, keepdims=True)
+    got = np.asarray(gsmath.eval_sh(4, jnp.array(sh), jnp.array(d)))
+    base = np.asarray(gsmath.eval_sh(3, jnp.array(sh[:, :16]), jnp.array(d)))
+
+    C4 = gsmath.SH_C4
+    x, y, z = d[:, 0:1], d[:, 1:2], d[:, 2:3]
+    xx, yy, zz = x * x, y * y, z * z
+    xy, yz, xz = x * y, y * z, x * z
+    want = (
+        base
+        + C4[0] * xy * (xx - yy) * sh[:, 16]
+        + C4[1] * yz * (3 * xx - yy) * sh[:, 17]
+        + C4[2] * xy * (7 * zz - 1) * sh[:, 18]
+        + C4[3] * yz * (7 * zz - 3) * sh[:, 19]
+        + C4[4] * (zz * (35 * zz - 30) + 3) * sh[:, 20]
+        + C4[5] * xz * (7 * zz - 3) * sh[:, 21]
+        + C4[6] * (xx - yy) * (7 * zz - 1) * sh[:, 22]
+        + C4[7] * xz * (xx - 3 * yy) * sh[:, 23]
+        + C4[8] * (xx * (xx - 3 * yy) - yy * (3 * xx - yy)) * sh[:, 24]
+    )
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+def test_sh_basis_orthonormal_deg4():
+    """Independent check of every SH constant and polynomial through
+    degree 4: the 25 basis functions must be orthonormal under exact
+    spherical quadrature (Gauss-Legendre in cos(theta) x uniform in phi,
+    exact for the degree-8 polynomial products involved). A wrong
+    constant, a mixed-up monomial, or a cross-term typo breaks the Gram
+    identity; transcription typos shared by impl and the deg3/deg4
+    oracle tests cannot hide here."""
+    nodes, wts = np.polynomial.legendre.leggauss(16)  # z in [-1, 1]
+    nphi = 32
+    phi = 2 * np.pi * (np.arange(nphi) + 0.5) / nphi
+    z = np.repeat(nodes, nphi)
+    w = np.repeat(wts, nphi) * (2 * np.pi / nphi)
+    s = np.sqrt(1 - np.repeat(nodes, nphi) ** 2)
+    d = np.stack([s * np.cos(np.tile(phi, 16)),
+                  s * np.sin(np.tile(phi, 16)), z], axis=1)
+    # basis matrix: evaluate with one-hot coefficient vectors
+    eye = np.eye(25, dtype=np.float64)[None, :, :, None]  # (1, 25, 25, 1)
+    sh = np.broadcast_to(eye, (d.shape[0], 25, 25, 1))
+    vals = np.asarray(
+        gsmath.eval_sh(
+            4,
+            jnp.array(sh.reshape(-1, 25, 1), jnp.float64),
+            jnp.array(np.repeat(d, 25, axis=0), jnp.float64),
+        )
+    ).reshape(d.shape[0], 25)
+    gram = (vals * w[:, None]).T @ vals
+    np.testing.assert_allclose(gram, np.eye(25), atol=5e-6)

@@ -240,3 +240,29 @@ def test_carry_mode_mxsum_matches_min(flags, monkeypatch):
     assert np.isfinite(np.asarray(gm)).all()
     assert np.isfinite(np.asarray(go)).all()
     assert float(jnp.abs(go).max()) > 0
+
+
+def test_faint_splat_stays_visible_with_zero_tiles():
+    """A splat with activated opacity < 1/255 loses its (opacity-
+    tightened) rect — zero emitted entries — but the reference's
+    visibility_filter counts it (forward.cu getRect uses the full
+    3*sigma radius), so `visible`/`radii` must stay on."""
+    means, scales, quats, opacities, shs = map(
+        np.copy, make_gaussians(P=8, seed=3, scale_mu=-1.2)
+    )
+    opacities[:] = 1.0 / 400.0  # below 1/255, well-formed otherwise
+    g = tuple(map(jnp.asarray, (means, scales, quats, opacities, shs)))
+    prep = _prep(g, tile_cull=True)
+    vis = np.asarray(prep.visible)
+    tiles = np.asarray(prep.tiles_touched)
+    radii = np.asarray(prep.radii)
+    assert vis.any(), "faint splats in front of the camera must be visible"
+    # the zero-half-extent rect keeps at most the tile under the center,
+    # and drops even that when the center sits in a tile's first pixel —
+    # THOSE splats are the regression: they must stay visible.
+    assert (tiles[vis] <= 1).all()
+    assert (tiles[vis] == 0).any(), "seed should produce a dropped-rect case"
+    assert (radii[vis] > 0).all(), "radii keep the 3-sigma reference value"
+    # and the untightened gate never turns ON splats the tight rect kept
+    prep_nc = _prep(g, tile_cull=False)
+    assert (np.asarray(prep_nc.visible) == vis).all()

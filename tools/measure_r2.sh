@@ -31,5 +31,8 @@ run "train mxsum carry"         GS_BENCH_MODE=train GS_TPU_CARRY=mxsum
 run "render roll-scan"          GS_TPU_LANE_SCAN=roll
 run "render fused expand"       GS_TPU_EXPAND=fused
 run "train fused expand"        GS_BENCH_MODE=train GS_TPU_EXPAND=fused
+run "render horner power"       GS_TPU_POWER=horner
+run "render best combo"         GS_TPU_EXPAND=fused GS_TPU_POWER=horner GS_TPU_CARRY=mxsum
+run "train best combo"          GS_BENCH_MODE=train GS_TPU_EXPAND=fused GS_TPU_POWER=horner GS_TPU_CARRY=mxsum
 echo "=== stage profile (best flags: rerun manually after inspecting) ==="
 timeout 3600 python tools/profile_stages.py pre emit gather render grad routing train 2>&1 | tail -30
