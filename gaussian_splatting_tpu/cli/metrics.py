@@ -30,11 +30,11 @@ def read_images(renders_dir, gt_dir):
     return renders, gts, names
 
 
-def evaluate(model_paths):
+def evaluate(model_paths, lpips_net="vgg"):
     import jax.numpy as jnp
 
     from gaussian_splatting_tpu.ops import losses
-    from gaussian_splatting_tpu.ops.lpips import lpips_available, lpips_vgg
+    from gaussian_splatting_tpu.ops.lpips import lpips, lpips_available
 
     full_dict = {}
     per_view_dict = {}
@@ -52,13 +52,13 @@ def evaluate(model_paths):
                 renders, gts, names = read_images(method_dir / "renders", method_dir / "gt")
 
                 ssims, psnrs, lpipss = [], [], []
-                use_lpips = lpips_available()
+                use_lpips = lpips_available(lpips_net)
                 for r, g in zip(renders, gts):
                     rj, gj = jnp.asarray(r), jnp.asarray(g)
                     ssims.append(float(losses.ssim(rj, gj)))
                     psnrs.append(float(losses.psnr(rj, gj)))
                     if use_lpips:
-                        lpipss.append(float(lpips_vgg(rj, gj)))
+                        lpipss.append(float(lpips(rj, gj, lpips_net)))
                 print(f"  SSIM : {np.mean(ssims):.7f}")
                 print(f"  PSNR : {np.mean(psnrs):.7f}")
                 if use_lpips:
@@ -92,8 +92,12 @@ def main(argv=None):
     parser.add_argument(
         "--model_paths", "-m", required=True, nargs="+", type=str, default=[]
     )
+    parser.add_argument(
+        "--lpips_net", choices=["vgg", "alex", "squeeze"], default="vgg",
+        help="LPIPS backbone (the reference's metrics.py uses vgg)",
+    )
     args = parser.parse_args(argv)
-    evaluate(args.model_paths)
+    evaluate(args.model_paths, lpips_net=args.lpips_net)
 
 
 if __name__ == "__main__":

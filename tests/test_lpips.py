@@ -281,3 +281,41 @@ def test_lpips_alex_squeeze_match_torch_oracle(
         assert got > 1e-5
     finally:
         gs_lpips._load_weights.cache_clear()
+
+
+def test_metrics_cli_lpips_net_flag(tmp_path, monkeypatch):
+    """--lpips_net alex drives the alex backbone end-to-end through the
+    metrics CLI (and vgg correctly reports unavailable with alex-only
+    weights: LPIPS must be null under the default net)."""
+    import imageio
+    import json
+
+    from gaussian_splatting_tpu.cli import metrics as metrics_cli
+
+    rng = np.random.default_rng(13)
+    weights = make_random_alex_weights(rng)
+    path = str(tmp_path / "lpips_alex.npz")
+    np.savez(path, **weights)
+    monkeypatch.setenv("GS_TPU_LPIPS_WEIGHTS", path)
+    gs_lpips._load_weights.cache_clear()
+    try:
+        model = tmp_path / "model"
+        rdir = model / "test" / "ours_7000" / "renders"
+        gdir = model / "test" / "ours_7000" / "gt"
+        rdir.mkdir(parents=True)
+        gdir.mkdir(parents=True)
+        a = (rng.uniform(size=(64, 96, 3)) * 255).astype(np.uint8)
+        b = np.clip(a + rng.normal(0, 12, a.shape), 0, 255).astype(np.uint8)
+        imageio.imwrite(str(rdir / "00000.png"), a)
+        imageio.imwrite(str(gdir / "00000.png"), b)
+
+        metrics_cli.main(["-m", str(model), "--lpips_net", "alex"])
+        res = json.load(open(model / "results.json"))
+        lp = res["ours_7000"]["LPIPS"]
+        assert lp is not None and np.isfinite(lp) and lp > 0
+
+        metrics_cli.main(["-m", str(model)])  # default vgg: unavailable
+        res = json.load(open(model / "results.json"))
+        assert res["ours_7000"]["LPIPS"] is None
+    finally:
+        gs_lpips._load_weights.cache_clear()

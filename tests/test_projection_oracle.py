@@ -156,11 +156,10 @@ def test_preprocess_matches_independent_oracle(seed):
              tanfovx=ca.tanfovx, tanfovy=ca.tanfovy), W, H)
 
     got_vis = np.asarray(got.visible)
-    # The repo tightens rects by opacity, which can only REMOVE tiles:
-    # its visible set must be a subset of the oracle's.
-    assert np.all(~got_vis | want["visible"])
-    # and the only oracle-visible gaussians it may drop are ones whose
-    # blended alpha never reaches 1/255 anywhere (tiny tiles list).
+    # `visible` gates on the UNtightened 3-sigma rect (the reference's
+    # getRect semantics), so it must match the oracle exactly — the
+    # opacity-tightened rect only shrinks the *emitted* tile lists.
+    assert np.array_equal(got_vis, want["visible"])
     both = got_vis & want["visible"]
     assert both.sum() > 50  # sanity: the scene is non-trivial
 
@@ -184,9 +183,12 @@ def test_preprocess_matches_independent_oracle(seed):
     gmax = np.asarray(got.rect_max)[both]
     assert np.all(gmin >= want["rect_min"][both] - 0)
     assert np.all(gmax <= want["rect_max"][both] + 0)
-    # At opacity 1 on the major axis the tightening is a no-op for the
-    # radius-dominated direction: rect areas stay positive.
-    assert np.all((gmax - gmin) > 0)
+    # Splats whose tightened rect collapsed (alpha < 1/255 everywhere)
+    # stay visible but emit nothing; every EMITTING splat has a positive
+    # rect area.
+    emitting = np.asarray(got.tiles_touched)[both] > 0
+    assert np.all(((gmax - gmin) > 0)[emitting])
+    assert emitting.sum() > 50
 
 
 def test_oracle_catches_transposed_jacobian():
