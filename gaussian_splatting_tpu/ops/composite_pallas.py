@@ -515,7 +515,9 @@ def _bwd_kernel(
             drec_ref[:, sl] = drec_ref[:, sl] + rows
 
             t_s[...] = st["new_t"]
-            pfx_s[...] = pfx_s[...] + jnp.sum(cgw, axis=1, keepdims=True)
+            # the inclusive scan's last lane IS old_pfx + sum(cgw): reuse
+            # it instead of a separate full-size lane reduction
+            pfx_s[...] = pfx_incl[:, CH - 1:CH]
 
 
 def _fwd_call(cfg, rec, v: Visits, origin_y):
