@@ -128,8 +128,8 @@ def training(
             import jax
 
             jax.profiler.start_trace(os.path.join(dataset.model_path, "profile"))
-        if debug_from >= 0 and trainer.iteration + 1 >= debug_from:
-            trainer.debug = True  # train.py:112-113
+        if debug_from >= 0 and trainer.iteration >= debug_from:
+            trainer.debug = True  # train.py:112-113 ((iteration-1)==debug_from)
         # Maintenance (densify + opacity reset) is deferred until after
         # report/save below — reference iteration order (train.py:146-169).
         m = trainer.step(defer_maintenance=True)

@@ -287,10 +287,12 @@ def _chunk_geometry(rec, t, lo, hi, grid_x, tile_w, tile_h, origin_y):
     raw = op * g
     alpha = jnp.minimum(ALPHA_MAX, raw)
     # the lane-range mask rides the alpha threshold ((1, CH) select)
-    # instead of a third full-size logical_or: alpha < inf is always true
-    # for the finite alphas here, so `skip` is bitwise identical.
+    # instead of a third full-size logical_or. NOT(alpha >= thr) instead of
+    # (alpha < thr) so a NaN alpha (diverged record fields) is skipped on
+    # every lane — including out-of-range ones, where `NaN < inf` would
+    # otherwise let garbage into the log/MXU prefix scan.
     a_thr = jnp.where(in_range, ALPHA_MIN, jnp.inf)
-    skip = jnp.logical_or(power > 0.0, alpha < a_thr)
+    skip = jnp.logical_or(power > 0.0, jnp.logical_not(alpha >= a_thr))
     return dict(
         c2a=c2a, c2b=c2b, c2c=c2c, rgb3=rgb3, op=op,
         mxl=mxl, myl=myl, pxl=pxl, pyl=pyl,
