@@ -266,3 +266,70 @@ def test_faint_splat_stays_visible_with_zero_tiles():
     # and the untightened gate never turns ON splats the tight rect kept
     prep_nc = _prep(g, tile_cull=False)
     assert (np.asarray(prep_nc.visible) == vis).all()
+
+
+def test_clip_cull_bitmaps_rows_oracle():
+    """Bit-shift row clipping must match a brute-force numpy re-derivation
+    (bit dy*w+dx of the clipped map == bit (dy+drop)*w+dx of the global),
+    including the (-1,-1) keep-all sentinel and empty clips."""
+    from gaussian_splatting_tpu.ops.projection import clip_cull_bitmaps_rows
+
+    rng = np.random.default_rng(7)
+    n = 512
+    w = rng.integers(1, 9, n)
+    h = rng.integers(1, 9, n)
+    area = w * h
+    bits = rng.integers(0, 1 << 32, (n, 2), dtype=np.uint64)
+    bm = (bits[:, 0] | (bits[:, 1] << np.uint64(32)))
+    bm &= np.where(area >= 64, np.uint64(2**64 - 1),
+                   (np.uint64(1) << area.astype(np.uint64)) - np.uint64(1))
+    sentinel = rng.random(n) < 0.15
+    bm = np.where(sentinel, np.uint64(2**64 - 1), bm)
+    drop = rng.integers(0, 10, n)  # may exceed h (empty clip)
+    clipped_h = np.maximum(h - drop, 0)
+
+    exp_counts = np.zeros(n, np.int64)
+    exp_bm = np.zeros(n, np.uint64)
+    for i in range(n):
+        if sentinel[i]:
+            exp_counts[i] = w[i] * clipped_h[i]
+            continue
+        for dy in range(clipped_h[i]):
+            for dx in range(w[i]):
+                src = (dy + drop[i]) * w[i] + dx
+                if (bm[i] >> np.uint64(src)) & np.uint64(1):
+                    exp_bm[i] |= np.uint64(1) << np.uint64(dy * w[i] + dx)
+                    exp_counts[i] += 1
+
+    lo_in = jnp.asarray((bm & np.uint64(0xFFFFFFFF)).astype(np.uint32).view(np.int32))
+    hi_in = jnp.asarray((bm >> np.uint64(32)).astype(np.uint32).view(np.int32))
+    lo, hi, counts = clip_cull_bitmaps_rows(
+        lo_in, hi_in, jnp.asarray(w, jnp.int32), jnp.asarray(drop, jnp.int32),
+        jnp.asarray(clipped_h, jnp.int32),
+    )
+    got = (np.asarray(lo).view(np.uint32).astype(np.uint64)
+           | (np.asarray(hi).view(np.uint32).astype(np.uint64) << np.uint64(32)))
+    np.testing.assert_array_equal(np.asarray(counts), exp_counts)
+    ok = sentinel | (got == exp_bm)
+    # sentinel rows stay sentinel (keep-all)
+    assert np.all(got[sentinel] == np.uint64(2**64 - 1))
+    assert ok.all(), np.nonzero(~ok)
+
+    # 32-bit mode: hi is None, same semantics on the low half
+    small = area <= 32
+    bm32 = np.where(sentinel, np.uint64(2**64 - 1), bm)
+    lo32_in = jnp.asarray(
+        np.where(sentinel, np.uint32(0xFFFFFFFF),
+                 (bm32 & np.uint64(0xFFFFFFFF)).astype(np.uint32)).view(np.int32)
+    )
+    lo32, hi32, counts32 = clip_cull_bitmaps_rows(
+        lo32_in, None, jnp.asarray(w, jnp.int32), jnp.asarray(drop, jnp.int32),
+        jnp.asarray(clipped_h, jnp.int32),
+    )
+    assert hi32 is None
+    sel = small & ~sentinel
+    np.testing.assert_array_equal(np.asarray(counts32)[sel], exp_counts[sel])
+    np.testing.assert_array_equal(
+        np.asarray(lo32).view(np.uint32)[sel],
+        (exp_bm & np.uint64(0xFFFFFFFF)).astype(np.uint32)[sel],
+    )
