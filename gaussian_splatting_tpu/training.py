@@ -193,6 +193,7 @@ def train_step(
     jax.jit,
     static_argnames=(
         "sh_degree", "active_sh_degree", "width", "height", "raster_cfg",
+        "shs_python", "rot_scale_python",
     ),
 )
 def eval_render(
@@ -206,15 +207,40 @@ def eval_render(
     height: int,
     raster_cfg: RasterizerConfig,
     scale_modifier: float = 1.0,
+    shs_python: bool = False,
+    rot_scale_python: bool = False,
 ):
     """Render from raw params (viewer + eval path). `scale_modifier` is the
     SIBR slider the reference threads through render() (train.py:84,
     gaussian_renderer/__init__.py:18,60); it is a traced scalar so slider
-    motion does not recompile."""
+    motion does not recompile.
+
+    `shs_python` / `rot_scale_python` are the SIBR debug toggles the
+    reference routes into pipe.convert_SHs_python / compute_cov3D_python
+    (train.py:81-84): colors / 3D covariances are precomputed here in
+    plain jnp and fed through the rasterizer's precomp escape hatches,
+    bypassing the fused preprocess equivalents. Images match the fused
+    path (same math, same rounding class)."""
+    from gaussian_splatting_tpu.ops import gsmath
+
     acts = activate(params)
+    colors_precomp = None
+    cov3d_precomp = None
+    shs = acts.shs
+    if shs_python:
+        colors_precomp = gsmath.sh_to_rgb(
+            active_sh_degree, acts.shs, acts.xyz, cam.campos
+        )
+        shs = None
+    if rot_scale_python:
+        # scale_modifier folds into the python-side covariance, exactly as
+        # the reference's build_covariance_from_scaling_rotation does
+        # (scene/gaussian_model.py:38-44).
+        cov3d_precomp = gsmath.build_cov3d(acts.scales, acts.quats, scale_modifier)
     img, aux = rasterize(
-        acts.xyz, acts.scales, acts.quats, acts.opacities, acts.shs,
+        acts.xyz, acts.scales, acts.quats, acts.opacities, shs,
         active_sh_degree, cam, width, height, bg, raster_cfg, alive=alive,
         scale_modifier=scale_modifier,
+        colors_precomp=colors_precomp, cov3d_precomp=cov3d_precomp,
     )
     return img, aux

@@ -104,7 +104,8 @@ class NetworkGUI:
         while self.conn is not None:
             try:
                 net_image_bytes = None
-                cam, do_training, _, _, keep_alive, scaling_modifier = self.receive()
+                (cam, do_training, shs_python, rot_scale_python,
+                 keep_alive, scaling_modifier) = self.receive()
                 if cam is not None:
                     img, _ = eval_render(
                         trainer.state.params,
@@ -117,6 +118,8 @@ class NetworkGUI:
                         cam.height,
                         trainer.raster_cfg,
                         scale_modifier=float(scaling_modifier),
+                        shs_python=bool(shs_python),
+                        rot_scale_python=bool(rot_scale_python),
                     )
                     arr = (np.clip(np.asarray(img), 0, 1) * 255).astype(np.uint8)
                     net_image_bytes = memoryview(np.ascontiguousarray(arr))

@@ -9,7 +9,8 @@ import numpy as np
 import pytest
 
 
-def _client_request(port, width, height, view, viewproj, scaling_modifier=1.0):
+def _client_request(port, width, height, view, viewproj, scaling_modifier=1.0,
+                    shs_python=False, rot_scale_python=False):
     """Speak the reference wire protocol (network_gui.py:43-55): length-
     prefixed JSON in, raw RGB + length-prefixed source path out."""
     s = socket.create_connection(("127.0.0.1", port), timeout=10)
@@ -21,8 +22,8 @@ def _client_request(port, width, height, view, viewproj, scaling_modifier=1.0):
         fov_x=math.radians(60),
         z_near=0.01,
         z_far=100.0,
-        shs_python=False,
-        rot_scale_python=False,
+        shs_python=shs_python,
+        rot_scale_python=rot_scale_python,
         keep_alive=True,
         scaling_modifier=scaling_modifier,
         view_matrix=view,
@@ -159,3 +160,34 @@ def test_network_gui_roundtrip():
         3, 0, W, H, trainer.raster_cfg, scale_modifier=1.0,
     )
     assert int(aux_half["num_entries"]) <= int(aux_full["num_entries"])
+
+    # --- shs_python / rot_scale_python toggles (train.py:81-84) must reach
+    # the precomp escape hatches and reproduce the fused-path frame ---
+    res3 = {}
+
+    def client3():
+        res3["img"], _ = _client_request(port, W, H, view, viewproj,
+                                         shs_python=True,
+                                         rot_scale_python=True)
+
+    t3 = threading.Thread(target=client3)
+    t3.start()
+    for _ in range(200):
+        gui.try_connect()
+        if gui.conn is not None:
+            break
+        _time.sleep(0.05)
+    gui.poll(trainer)
+    t3.join(timeout=30)
+    assert not t3.is_alive()
+    assert "img" in res3, "GUI dropped the toggled request"
+    # same math, same rounding class: at most 1 uint8 count of drift
+    assert np.abs(res3["img"].astype(int) - result["img"].astype(int)).max() <= 1
+    # and the direct toggled render is bit-identical to the fused one
+    img_tog, _ = eval_render(
+        trainer.state.params, trainer.state.alive,
+        jax.tree.map(jnp.asarray, ca), trainer.background,
+        3, 0, W, H, trainer.raster_cfg,
+        shs_python=True, rot_scale_python=True,
+    )
+    np.testing.assert_array_equal(np.asarray(img_tog), np.asarray(img_direct))
