@@ -337,15 +337,15 @@ def emit_sorted_records(
         return jnp.cumsum(z)
 
     # Column 1: gaussian id packed with the low bits of the run offset
-    # (local index = (slot - offs) mod 2^14 is exact because a rect covers
-    # at most num_tiles <= 2^14 tiles). Falls back to two columns when the
-    # id doesn't fit the remaining bits.
+    # (local index = (slot - offs) mod 2^off_bits is exact because a rect
+    # covers at most num_tiles <= 2^off_bits tiles). off_bits grows with
+    # the grid — up to 20 bits for the largest 10-bit-geo grids (~16K px
+    # at 16-px tiles) — and the gaussian id falls back to its own second
+    # expansion column when it no longer fits the remaining bits.
     iota_p = jnp.arange(p, dtype=i32)
-    off_bits = 14
+    off_bits = max(14, (num_tiles - 1).bit_length())
     off_mask = (1 << off_bits) - 1
     pack_gid = p <= (1 << (32 - off_bits))
-    if num_tiles > (1 << off_bits):
-        raise ValueError("tile grid exceeds the 14-bit local-index packing")
 
     # Column 2: rect geometry; column 3: f32 depth BIT PATTERN (positive
     # floats order like their int bits, and bit-pattern deltas telescope

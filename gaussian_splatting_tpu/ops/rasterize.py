@@ -64,9 +64,11 @@ class RasterizerConfig:
 
 
 def _pallas_grid_ok(grid_x: int, grid_y: int) -> bool:
-    """Whether the Pallas fast path's bit packings cover this tile grid
-    (binning: 14-bit tile/local-index packing, 10-bit rect geometry)."""
-    return grid_x * grid_y <= (1 << 14) and max(grid_x, grid_y) < (1 << binning._GEO_BITS)
+    """Whether the Pallas fast path's bit packings cover this tile grid.
+    The local-index packing widens automatically up to 20 bits (binning.
+    emit_sorted_records), so the only remaining bound is the 10-bit rect
+    geometry: grids up to 1023x1023 tiles (~16K px at 16-px tiles)."""
+    return max(grid_x, grid_y) < (1 << binning._GEO_BITS)
 
 
 def _xla_path(prep, config, grid_x, grid_y, width, height, bg):
@@ -155,10 +157,17 @@ def rasterize(
         )
         num_entries = jnp.sum(prep.tiles_touched)
     elif config.backend == "pallas" and not _pallas_grid_ok(grid_x, grid_y):
-        # The Pallas emission packs (tile, local index) into 14 bits and the
-        # rect geometry into 10 bits per axis (binning._GEO_BITS) — a ~4K+
-        # image at 16-px tiles exceeds both. Fall back to the XLA composite
-        # path rather than crash (same outputs, slower).
+        # The emission packs rect geometry into 10 bits per axis
+        # (binning._GEO_BITS); past ~16K px at 16-px tiles fall back to
+        # the XLA composite path rather than crash (same outputs, several
+        # times slower — warn so a benchmark cliff is explainable).
+        import warnings
+
+        warnings.warn(
+            f"pallas backend: {grid_x}x{grid_y} tile grid exceeds the "
+            "10-bit rect packing; using the (slower) XLA composite path",
+            stacklevel=2,
+        )
         out, num_entries = _xla_path(prep, config, grid_x, grid_y, width, height, bg)
     elif config.backend == "pallas":
         from gaussian_splatting_tpu.ops.composite_pallas import render_tiles_pallas
