@@ -424,7 +424,99 @@ def stage_train():
     print(f"{'full train step':32s} {min(ts) / N_ITERS * 1000:8.2f} ms")
 
 
+def stage_roofline():
+    """Speed-of-light analysis (BASELINE.md's north star): calibrate the
+    chip's streaming HBM bandwidth and fused-VPU element rate with
+    microbenchmarks, then report each pipeline stage against its bound.
+
+    Interpreting the table: a stage near its HBM bound is done — attack
+    its BYTES (fewer entries, narrower records). A stage near the VPU
+    bound needs fewer lane ops. A stage far from both is issue/latency
+    bound (the row gather is the known case: per-row DMA issue rate, not
+    bandwidth) — attack its COUNT, not its kernel. `max fps (bound)` says
+    whether the 30 fps target is reachable at this entry count at all.
+    """
+    # --- calibration ---
+    S = 64 * 1024 * 1024 // 4  # 64 MB of f32
+    x0 = jnp.asarray(np.random.default_rng(3).normal(size=(S,)), jnp.float32)
+
+    def vpu_chain(x):
+        for _ in range(64):  # fused: one HBM read, 64 full-size lane ops
+            x = x * 1.0000001 + 1e-9
+        return x
+
+    def hbm_copy(x):
+        return x * 1.0000001  # 4 B read + 4 B write per element
+
+    t_vpu = chain_time(lambda c: vpu_chain(x0 + c).sum(), "calib: 64-op fused chain")
+    t_hbm = chain_time(lambda c: hbm_copy(x0 + c).sum(), "calib: streaming copy")
+    vpu_rate = 64 * S / (t_vpu / 1e3)  # f32 lane-elements / s
+    hbm_bw = 8 * S / (t_hbm / 1e3)  # bytes / s
+    print(f"calibrated: VPU ~{vpu_rate / 1e9:.0f} G f32-elem/s, "
+          f"HBM ~{hbm_bw / 1e9:.0f} GB/s")
+
+    # --- measured stages (each includes its predecessors; diff them) ---
+    t_pre = chain_time(lambda c: jnp.sum(_prep(c).tiles_touched).astype(jnp.float32),
+                       "preprocess")
+    t_emit = chain_time(
+        lambda c: (lambda sr: jnp.sum(sr.tile_stop).astype(jnp.float32))(
+            _emit(_prep(c))), "pre+emit(sort)")
+    t_gather = chain_time(
+        lambda c: (lambda sr: jnp.sum(sr.rec[0]) + jnp.sum(sr.gauss_id)
+                   .astype(jnp.float32))(_emit(_prep(c))), "pre+emit+gather")
+    cfg = RasterizerConfig(backend="pallas", capacity_exact=CAP,
+                           tile_cull=TILE_CULL)
+
+    def frender(c):
+        img = rasterize(means, scales, quats, opacities, shs, 3, cam, W, H,
+                        bg + c * 0, cfg, return_aux=False)
+        return img[0, 0, 0]
+
+    t_full = chain_time(frender, "full render (pallas)")
+
+    K = n_entries
+    rec_bytes = binning.REC_ROWS * 4  # one f32 row-tile per record field
+
+    # --- bounds ---
+    # preprocess: P gaussians x ~26 f32 fields in, ~16 out; VPU ~300 ops
+    pre_hbm = (P * (26 + 16) * 4) / hbm_bw * 1e3
+    pre_vpu = (P * 300) / vpu_rate * 1e3
+    # emit: 4-6 expansion columns (4 B in+out per entry each) + 3-operand
+    # sort (~log2(K)/2 passes over 12 B/entry, measured-model: sort is a
+    # multi-pass stream) — approximate bytes = cols*8*K + 6*12*K
+    emit_hbm = (6 * 8 * K + 6 * 12 * K) / hbm_bw * 1e3
+    # gather: read K rows of rec_bytes + write them
+    gather_hbm = (2 * rec_bytes * K) / hbm_bw * 1e3
+    # kernel: ~46 lane ops per entry x 256 pixels (visit-pair lanes), or
+    # stream bytes: records in + image tiles out
+    tilepx = 256
+    kern_vpu = (46 * K * tilepx) / vpu_rate * 1e3
+    kern_hbm = (rec_bytes * K + W * H * 4 * 4) / hbm_bw * 1e3
+
+    m_emit = t_emit - t_pre
+    m_gather = t_gather - t_emit
+    m_kernel = t_full - t_gather
+    rows = [
+        ("preprocess", t_pre, max(pre_hbm, pre_vpu)),
+        ("emit+sort", m_emit, emit_hbm),
+        ("record gather", m_gather, gather_hbm),
+        ("composite kernel", m_kernel, max(kern_vpu, kern_hbm)),
+    ]
+    print(f"\n{'stage':20s} {'measured':>10s} {'bound':>10s} {'of bound':>9s}")
+    bound_total = 0.0
+    for name, meas, bound in rows:
+        bound_total += bound
+        pct = 100.0 * bound / max(meas, 1e-9)
+        print(f"{name:20s} {meas:9.2f}ms {bound:9.2f}ms {pct:8.0f}%")
+    print(f"{'TOTAL frame':20s} {t_full:9.2f}ms {bound_total:9.2f}ms")
+    print(f"achieved fps: {1e3 / t_full:.1f}   "
+          f"speed-of-light fps at K={K}: {1e3 / bound_total:.1f}")
+    print(f"kernel bounds: VPU {kern_vpu:.2f} ms vs HBM {kern_hbm:.2f} ms "
+          f"-> {'lane-op' if kern_vpu > kern_hbm else 'bandwidth'} limited")
+
+
 STAGES = {
+    "roofline": stage_roofline,
     "pre": stage_pre,
     "train": stage_train,
     "emit": stage_emit,
