@@ -6,7 +6,11 @@ cd "$(dirname "$0")/.."
 run() {
   local label="$1"; shift
   echo "=== $label ==="
-  timeout 1800 env "$@" python bench.py 2>&1 | tail -2
+  # single inner attempt per config (bench.py's own retry wrapper would
+  # otherwise nest retries inside the outer timeout), no stale fallback
+  # for A/B rows (we want a hole, not a stale number, if a config dies)
+  timeout 1800 env GS_BENCH_RETRIES=1 GS_BENCH_TIMEOUT=1500 "$@" \
+    python bench.py 2>&1 | tail -2
 }
 
 # K-reduction: exact tile cull on/off (the round-2 headline change)
@@ -36,3 +40,5 @@ run "render best combo"         GS_TPU_EXPAND=fused GS_TPU_POWER=horner GS_TPU_C
 run "train best combo"          GS_BENCH_MODE=train GS_TPU_EXPAND=fused GS_TPU_POWER=horner GS_TPU_CARRY=mxsum
 echo "=== stage profile (best flags: rerun manually after inspecting) ==="
 timeout 3600 python tools/profile_stages.py pre emit gather render grad routing train 2>&1 | tail -30
+echo "=== roofline (speed-of-light bounds at current flags) ==="
+timeout 3600 python tools/profile_stages.py roofline 2>&1 | tail -20
