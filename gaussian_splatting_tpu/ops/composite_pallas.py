@@ -143,51 +143,12 @@ def _shift_one(x: jnp.ndarray, fill) -> jnp.ndarray:
     return jnp.where(lane >= 1, pltpu.roll(x, 1, 1), fill)
 
 
-_RELAYOUT_BLK = BLK  # capacity is always a BLK multiple
-
-
-def _to_rows_kernel(in_ref, out_ref):
-    out_ref[...] = in_ref[...].T
-
-
-def relayout_to_rows(x: jnp.ndarray) -> jnp.ndarray:
-    """(R, K) fields-on-sublanes -> (K, R) entries-on-sublanes, via a
-    streaming Pallas transpose whose Mosaic boundary PINS both layouts to
-    {1,0} (rows contiguous). XLA's layout assignment cannot propagate a
-    strided layout through a custom call, so a row gather consuming this
-    output reads contiguous 4*R-byte rows instead of R strided columns."""
-    r, k = x.shape
-    assert k % _RELAYOUT_BLK == 0, (r, k)
-    return pl.pallas_call(
-        _to_rows_kernel,
-        grid=(k // _RELAYOUT_BLK,),
-        in_specs=[
-            pl.BlockSpec((r, _RELAYOUT_BLK), lambda b: (0, b),
-                         memory_space=pltpu.VMEM)
-        ],
-        out_specs=pl.BlockSpec((_RELAYOUT_BLK, r), lambda b: (b, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((k, r), x.dtype),
-        interpret=_interpret(),
-    )(x)
-
-
-def relayout_to_cols(x: jnp.ndarray) -> jnp.ndarray:
-    """Inverse of relayout_to_rows: (K, R) -> (R, K)."""
-    k, r = x.shape
-    assert k % _RELAYOUT_BLK == 0, (k, r)
-    return pl.pallas_call(
-        _to_rows_kernel,
-        grid=(k // _RELAYOUT_BLK,),
-        in_specs=[
-            pl.BlockSpec((_RELAYOUT_BLK, r), lambda b: (b, 0),
-                         memory_space=pltpu.VMEM)
-        ],
-        out_specs=pl.BlockSpec((r, _RELAYOUT_BLK), lambda b: (0, b),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((r, k), x.dtype),
-        interpret=_interpret(),
-    )(x)
+# Streaming layout-pinning transposes (shared with binning's flag-gated
+# forward record gather; re-exported here for existing callers).
+from gaussian_splatting_tpu.ops.relayout import (  # noqa: E402
+    relayout_to_cols,
+    relayout_to_rows,
+)
 
 
 def _visit_meta(w, vt_ref, ts_ref, tp_ref, vo_ref):
@@ -314,7 +275,15 @@ def _blend_state(geo, t_carry):
     transmittance (TPU early exit keeps it >= T_EPS, forward.cu:452-456).
     """
     alpha, skip = geo["alpha"], geo["skip"]
-    om = jnp.where(skip, 1.0, 1.0 - alpha)  # blend factor, 1 if skipped
+    # Fold the skip mask into a zeroed alpha once: am = alpha where the
+    # pair contributes, else exactly 0. Downstream masks then need only
+    # the single `test >= T_EPS` compare (`tcmp`) — a skipped lane has
+    # om = 1, so its `test` equals the carried transmittance and neither
+    # the weight (am = 0) nor the min/log carry reductions are perturbed.
+    # This drops the old 3-op include mask (not(skip) & cmp & and) from
+    # both kernels with bit-identical outputs.
+    am = jnp.where(skip, 0.0, alpha)
+    om = 1.0 - am  # blend factor, 1 if skipped
     logom = None
     if _use_mm_scan():
         logom = jnp.log(om)
@@ -323,8 +292,8 @@ def _blend_state(geo, t_carry):
         excl = _shift_one(_lane_scan(om, jnp.multiply, 1.0), 1.0)
     t_entry = t_carry * excl  # transmittance before entry i (negative if done)
     test = t_entry * om  # monotone non-increasing along lanes
-    include = jnp.logical_and(jnp.logical_not(skip), test >= T_EPS)
-    wgt = jnp.where(include, alpha * t_entry, 0.0)  # (TPX, CH)
+    tcmp = test >= T_EPS
+    wgt = jnp.where(tcmp, am * t_entry, 0.0)  # (TPX, CH)
     # carry update: |new| = T after the last included entry; sign goes
     # negative when the chunk's tail crossed the early-exit threshold
     # (covers already-saturated carries).
@@ -334,21 +303,23 @@ def _blend_state(geo, t_carry):
         # skip mask is needed); with zero such lanes the sum is 0 and the
         # carry magnitude is unchanged — exactly the min path's fallback.
         row = jax.lax.dot_general(
-            jnp.where(test >= T_EPS, logom, 0.0),
+            jnp.where(tcmp, logom, 0.0),
             jnp.ones((CH, 1), _f32),
             (((1,), (0,)), ((), ())),
             preferred_element_type=_f32, precision=_HI,
         )  # (TPX, 1)
         base = jnp.abs(t_carry) * jnp.exp(row)
     else:
-        # masked lane min-reduce (monotone, so the min IS the last value)
+        # lane min-reduce masked by tcmp alone: `test` is monotone and a
+        # skipped lane repeats the last included lane's value, so the min
+        # over tcmp lanes IS the T after the last included entry.
         base = jnp.minimum(
-            jnp.min(jnp.where(include, test, jnp.inf), axis=1, keepdims=True),
+            jnp.min(jnp.where(tcmp, test, jnp.inf), axis=1, keepdims=True),
             jnp.abs(t_carry),
         )
     new_t = jnp.where(test[:, CH - 1:CH] < T_EPS, -base, base)
     return dict(
-        om=om, t_entry=t_entry, test=test, include=include, wgt=wgt,
+        am=am, om=om, t_entry=t_entry, test=test, tcmp=tcmp, wgt=wgt,
         new_t=new_t,
     )
 
@@ -461,11 +432,10 @@ def _bwd_kernel(
                 rec_ref[:, sl], t, lo_h, hi_h, grid_x, tile_w, tile_h, origin_y
             )
             st = _blend_state(geo, t_s[...])
-            alpha = geo["alpha"]
             c2a, c2b, c2c = geo["c2a"], geo["c2b"], geo["c2c"]
             mxl, myl = geo["mxl"], geo["myl"]
             pxl, pyl = geo["pxl"], geo["pyl"]
-            include, om, t_i, wgt = st["include"], st["om"], st["t_entry"], st["wgt"]
+            tcmp, om, t_i, wgt = st["tcmp"], st["om"], st["t_entry"], st["wgt"]
 
             g2 = g_ref[0]  # (3, TPX) image cotangent for this tile
             cg = jax.lax.dot_general(
@@ -481,10 +451,12 @@ def _bwd_kernel(
 
             # clamp gate folded into the select mask (one fewer full-size
             # multiply; bitwise-identical dpower: x*1.0 is exact and the
-            # gated-out branch was an exact 0 either way)
-            live = jnp.logical_and(include, geo["raw"] < ALPHA_MAX)
-            dalpha = jnp.where(include, t_i * cg - a_i / om, 0.0)
-            dpower = jnp.where(live, dalpha * alpha, 0.0)
+            # gated-out branch was an exact 0 either way). Skipped lanes
+            # are zeroed by am = 0 itself (dalpha is finite there: om = 1),
+            # so `live` needs only the tcmp & clamp conjuncts.
+            live = jnp.logical_and(tcmp, geo["raw"] < ALPHA_MAX)
+            dalpha = t_i * cg - a_i / om
+            dpower = jnp.where(live, dalpha * st["am"], 0.0)
 
             # All pixel-axis reductions as ONE moment matmul on the MXU:
             # dx = mxl - pxl is separable, so d{conic, mean2d} are linear

@@ -1,0 +1,74 @@
+"""Streaming Pallas transposes that PIN memory layouts across a gather.
+
+XLA's layout assignment will happily give a gather a {0,1} output layout
+to make a downstream transpose free — which turns each gathered row into
+R strided 4-byte writes (~37 ms at 3M rows on v5e) instead of one
+contiguous 4R-byte row (~15 ms). `optimization_barrier` does not stop
+that layout propagation; a Mosaic custom call does (Pallas operands and
+results take default {1,0} layouts). Sandwiching the gather between
+these two kernels therefore forces the fast contiguous-row form on both
+its input and output sides, at the cost of two HBM-bandwidth streams.
+
+Used by the backward gradient routing and (flag-gated,
+GS_TPU_FWD_GATHER=relayout) the forward record gather in
+binning.emit_sorted_records. See cuda_rasterizer/rasterizer_impl.cu:
+345-374 for the reference's mirror-image trade-off (GPU gathers per
+entry inside the kernel; TPU pre-streams sorted records).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_RELAYOUT_BLK = 256  # capacity is always a BLOCK (=256) multiple
+
+
+def _interpret() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+def _to_rows_kernel(in_ref, out_ref):
+    out_ref[...] = in_ref[...].T
+
+
+def relayout_to_rows(x: jnp.ndarray) -> jnp.ndarray:
+    """(R, K) fields-on-sublanes -> (K, R) entries-on-sublanes, via a
+    streaming Pallas transpose whose Mosaic boundary PINS both layouts to
+    {1,0} (rows contiguous). XLA's layout assignment cannot propagate a
+    strided layout through a custom call, so a row gather consuming this
+    output reads contiguous 4*R-byte rows instead of R strided columns."""
+    r, k = x.shape
+    assert k % _RELAYOUT_BLK == 0, (r, k)
+    return pl.pallas_call(
+        _to_rows_kernel,
+        grid=(k // _RELAYOUT_BLK,),
+        in_specs=[
+            pl.BlockSpec((r, _RELAYOUT_BLK), lambda b: (0, b),
+                         memory_space=pltpu.VMEM)
+        ],
+        out_specs=pl.BlockSpec((_RELAYOUT_BLK, r), lambda b: (b, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((k, r), x.dtype),
+        interpret=_interpret(),
+    )(x)
+
+
+def relayout_to_cols(x: jnp.ndarray) -> jnp.ndarray:
+    """Inverse of relayout_to_rows: (K, R) -> (R, K)."""
+    k, r = x.shape
+    assert k % _RELAYOUT_BLK == 0, (k, r)
+    return pl.pallas_call(
+        _to_rows_kernel,
+        grid=(k // _RELAYOUT_BLK,),
+        in_specs=[
+            pl.BlockSpec((_RELAYOUT_BLK, r), lambda b: (b, 0),
+                         memory_space=pltpu.VMEM)
+        ],
+        out_specs=pl.BlockSpec((r, _RELAYOUT_BLK), lambda b: (0, b),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((r, k), x.dtype),
+        interpret=_interpret(),
+    )(x)

@@ -36,6 +36,7 @@ run "render roll-scan"          GS_TPU_LANE_SCAN=roll
 run "render fused expand"       GS_TPU_EXPAND=fused
 run "train fused expand"        GS_BENCH_MODE=train GS_TPU_EXPAND=fused
 run "render horner power"       GS_TPU_POWER=horner
+run "render fwd-gather relayout" GS_TPU_FWD_GATHER=relayout
 run "render best combo"         GS_TPU_EXPAND=fused GS_TPU_POWER=horner GS_TPU_CARRY=mxsum
 run "train best combo"          GS_BENCH_MODE=train GS_TPU_EXPAND=fused GS_TPU_POWER=horner GS_TPU_CARRY=mxsum
 echo "=== stage profile (best flags: rerun manually after inspecting) ==="
