@@ -1,36 +1,81 @@
-"""Summarize tools/measure_r2.sh output into a sorted table.
+"""Summarize a measure_r2.sh log into a ranked flag table.
 
-Usage: python tools/summarize_measure.py /tmp/vdrive/measure_r2_results.txt
+Usage: python tools/summarize_measure.py MEASURE_r3_raw.log
+
+Parses the `=== label ===` / JSON-line structure the batch emits and
+prints render and train tables sorted by value, with speedups vs the
+flagship baselines ("render cull=1 16x16" and "train cull mm relayout"),
+plus a suggested flag-default verdict per A/B axis.
 """
+
+from __future__ import annotations
 
 import json
 import re
 import sys
 
 
-def main(path):
+def parse(path: str):
+    rows = []  # (label, dict)
     label = None
-    rows = []
-    for line in open(path):
-        m = re.match(r"^=== (.+) ===$", line.strip())
-        if m:
-            label = m.group(1)
-            continue
-        if line.startswith("{") and label:
-            try:
-                d = json.loads(line)
-            except json.JSONDecodeError:
+    with open(path) as f:
+        for line in f:
+            line = line.strip()
+            m = re.match(r"^=== (.*) ===$", line)
+            if m:
+                label = m.group(1)
                 continue
-            rows.append((label, d.get("metric"), d.get("value"),
-                         d.get("unit"), d.get("vs_baseline")))
-            label = None
-    for metric in sorted({r[1] for r in rows}):
-        print(f"\n== {metric} ==")
-        sel = sorted((r for r in rows if r[1] == metric),
-                     key=lambda r: -(r[2] or 0))
-        for label, _, value, unit, vsb in sel:
-            print(f"  {value:10.3f} {unit:8s} vs_baseline={vsb:.3f}  {label}")
+            if line.startswith("{") and label:
+                try:
+                    d = json.loads(line)
+                except json.JSONDecodeError:
+                    continue
+                if "metric" in d and "value" in d:
+                    rows.append((label, d))
+                    label = None
+    return rows
+
+
+def table(rows, kind, base_label):
+    sel = [(l, d) for l, d in rows if kind in d["metric"]]
+    if not sel:
+        return
+    base = next((d["value"] for l, d in sel if l == base_label), None)
+    print(f"\n## {kind} (baseline: {base_label} = {base})")
+    print(f"{'config':32s} {'value':>9s} {'unit':>9s} {'vs base':>8s} {'stale':>6s}")
+    for l, d in sorted(sel, key=lambda x: -x[1]["value"]):
+        rel = f"{(d['value'] / base - 1):+.1%}" if base else "n/a"
+        stale = "STALE" if d.get("stale") else ""
+        print(f"{l:32s} {d['value']:>9.3f} {d['unit']:>9s} {rel:>8s} {stale:>6s}")
+
+
+def main():
+    path = sys.argv[1] if len(sys.argv) > 1 else "MEASURE_r3_raw.log"
+    rows = parse(path)
+    if not rows:
+        print(f"no result rows found in {path}")
+        return 1
+    table(rows, "render_fps", "render cull=1 16x16")
+    table(rows, "train_its", "train cull mm relayout")
+    print("\nFlag axes to decide (flip the winner into the default):")
+    for axis, a, b in [
+        ("tile_cull", "render cull=1 16x16", "render cull=0 16x16"),
+        ("GS_TPU_CARRY", "render cull=1 16x16", "render mxsum carry"),
+        ("GS_TPU_POWER", "render cull=1 16x16", "render horner power"),
+        ("GS_TPU_EXPAND", "render cull=1 16x16", "render fused expand"),
+        ("GS_TPU_LANE_SCAN", "render cull=1 16x16", "render roll-scan"),
+        ("GS_TPU_FWD_GATHER", "render cull=1 16x16", "render fwd-gather relayout"),
+        ("GS_TPU_CULL_BITS", "render cull=1 16x16", "render cull=1 bits32"),
+        ("GS_TPU_BWD_ROUTING", "train cull mm relayout", "train cull mm direct"),
+        ("GS_TPU_BOUNDARY_GATHER", "train cull mm relayout", "train boundary concat"),
+    ]:
+        va = next((d["value"] for l, d in rows if l == a), None)
+        vb = next((d["value"] for l, d in rows if l == b), None)
+        if va and vb:
+            win = a if va >= vb else b
+            print(f"  {axis:24s}: {win}  ({va:.2f} vs {vb:.2f})")
+    return 0
 
 
 if __name__ == "__main__":
-    main(sys.argv[1] if len(sys.argv) > 1 else "/tmp/vdrive/measure_r2_results.txt")
+    sys.exit(main())
