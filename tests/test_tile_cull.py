@@ -186,6 +186,36 @@ def test_cull_bits32_and_boundary_gather_modes(backend, monkeypatch):
         np.testing.assert_allclose(a, b, atol=1e-3 * scale, rtol=1e-3)
 
 
+def test_fwd_gather_relayout_matches_direct(monkeypatch):
+    """GS_TPU_FWD_GATHER=relayout pins the forward record gather's output
+    layout with a streaming Pallas transpose; the gathered VALUES are
+    unchanged, so image and gradients must be bit-identical to the direct
+    `prow[ids].T` form."""
+    g = _scene(400, seed=11)
+    means, scales, quats, opacities, shs = g
+    cam = make_camera(W, H)
+    bg = jnp.asarray([0.1, 0.2, 0.3], jnp.float32)
+    cfg = RasterizerConfig(backend="pallas", capacity_mult=32, tile_cull=True)
+
+    def render():
+        def f(m, o):
+            img, _ = rasterize(
+                m, scales, quats, o, shs, 2, cam.arrays(), W, H, bg, cfg,
+            )
+            return jnp.sum(img * img), img
+
+        (_, img), grads = jax.value_and_grad(f, argnums=(0, 1),
+                                             has_aux=True)(means, opacities)
+        return img, grads
+
+    img_ref, g_ref = render()
+    monkeypatch.setenv("GS_TPU_FWD_GATHER", "relayout")
+    img_alt, g_alt = render()
+    np.testing.assert_array_equal(np.asarray(img_alt), np.asarray(img_ref))
+    for a, b in zip(g_alt, g_ref):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_cull_reduces_entries():
     g = _scene(600, seed=4)
     p_on = _prep(g, tile_cull=True)
