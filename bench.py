@@ -34,6 +34,9 @@ def main():
         _run()
         return
     mode = os.environ.get("GS_BENCH_MODE", "render")
+    scene = os.environ.get("GS_BENCH_SCENE", "cloud")
+    if scene != "cloud":
+        mode = f"{mode}_{scene}"  # separate last-known-good slot per scene
     retries = int(os.environ.get("GS_BENCH_RETRIES", 3))
     timeout_s = int(os.environ.get("GS_BENCH_TIMEOUT", 2400))
     last_tail = ""
@@ -134,10 +137,30 @@ def _run():
     tile_cull = os.environ.get("GS_BENCH_TILE_CULL", "1") != "0"
 
     rng = np.random.default_rng(0)
-    means = jnp.asarray(rng.normal(0, 1.0, (P, 3)), jnp.float32)
-    scales = jnp.asarray(np.exp(rng.normal(-4.2, 0.5, (P, 3))), jnp.float32)
-    quats = jnp.asarray(rng.normal(0, 1, (P, 4)), jnp.float32)
-    opacities = jnp.asarray(1 / (1 + np.exp(-rng.normal(0.0, 1.0, (P,)))), jnp.float32)
+    scene = os.environ.get("GS_BENCH_SCENE", "cloud")
+    if scene == "shell":
+        # Trained-scene proxy: an opaque surface shell (splats on a sphere,
+        # opacity ~0.9, small anisotropic footprints). Front-to-back
+        # transmittance saturates after a handful of entries, exercising
+        # the kernels' whole-chunk early-exit path the way a converged
+        # real scene does; the default "cloud" (semi-transparent volume)
+        # is the early-exit worst case and stays the headline metric.
+        d = rng.normal(size=(P, 3))
+        d /= np.linalg.norm(d, axis=1, keepdims=True)
+        means_np = (1.5 * d + rng.normal(0, 0.01, (P, 3))).astype(np.float32)
+        means = jnp.asarray(means_np)
+        scales = jnp.asarray(np.exp(rng.normal(-4.8, 0.3, (P, 3))), jnp.float32)
+        quats = jnp.asarray(rng.normal(0, 1, (P, 4)), jnp.float32)
+        opacities = jnp.asarray(
+            1 / (1 + np.exp(-rng.normal(2.5, 0.8, (P,)))), jnp.float32
+        )
+    else:
+        means = jnp.asarray(rng.normal(0, 1.0, (P, 3)), jnp.float32)
+        scales = jnp.asarray(np.exp(rng.normal(-4.2, 0.5, (P, 3))), jnp.float32)
+        quats = jnp.asarray(rng.normal(0, 1, (P, 4)), jnp.float32)
+        opacities = jnp.asarray(
+            1 / (1 + np.exp(-rng.normal(0.0, 1.0, (P,)))), jnp.float32
+        )
     shs_np = rng.normal(0, 0.2, (P, 16, 3)).astype(np.float32)
     shs_np[:, 0, :] += 1.0
     shs = jnp.asarray(shs_np)
@@ -219,7 +242,8 @@ def _run():
     print(
         json.dumps(
             {
-                "metric": f"render_fps_{W}x{H}_P{P}_{backend}",
+                "metric": f"render_fps_{W}x{H}_P{P}_{backend}"
+                + ("" if scene == "cloud" else f"_{scene}"),
                 "value": round(fps, 3),
                 "unit": "frames/s",
                 "vs_baseline": round(fps / 30.0, 4),
@@ -278,7 +302,9 @@ def _bench_train(jax, jnp, P, W, H, cfg, means, scales, quats, opacities, shs):
         times.append(time.perf_counter() - t0)
     dt = min(times) / n_iters
     print(json.dumps({
-        "metric": f"train_its_{W}x{H}_P{P}_{cfg.backend}",
+        "metric": f"train_its_{W}x{H}_P{P}_{cfg.backend}"
+        + ("" if os.environ.get("GS_BENCH_SCENE", "cloud") == "cloud"
+           else "_" + os.environ["GS_BENCH_SCENE"]),
         "value": round(1.0 / dt, 3),
         "unit": "iters/s",
         "vs_baseline": round((1.0 / dt) / 20.0, 4),

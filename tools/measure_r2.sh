@@ -39,6 +39,9 @@ run "render horner power"       GS_TPU_POWER=horner
 run "render fwd-gather relayout" GS_TPU_FWD_GATHER=relayout
 run "render best combo"         GS_TPU_EXPAND=fused GS_TPU_POWER=horner GS_TPU_CARRY=mxsum
 run "train best combo"          GS_BENCH_MODE=train GS_TPU_EXPAND=fused GS_TPU_POWER=horner GS_TPU_CARRY=mxsum
+# surface-shell proxy scene (trained-scene-like saturation; early-exit path)
+run "render shell cull=1"       GS_BENCH_SCENE=shell
+run "train shell"               GS_BENCH_MODE=train GS_BENCH_SCENE=shell
 echo "=== stage profile (best flags: rerun manually after inspecting) ==="
 timeout 3600 python tools/profile_stages.py pre emit gather render grad routing train 2>&1 | tail -30
 echo "=== roofline (speed-of-light bounds at current flags) ==="
