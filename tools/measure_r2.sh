@@ -42,6 +42,15 @@ run "train best combo"          GS_BENCH_MODE=train GS_TPU_EXPAND=fused GS_TPU_P
 # surface-shell proxy scene (trained-scene-like saturation; early-exit path)
 run "render shell cull=1"       GS_BENCH_SCENE=shell
 run "train shell"               GS_BENCH_MODE=train GS_BENCH_SCENE=shell
+# tile sweep on the shell scene: smaller tiles saturate (all-pixel T<eps)
+# sooner, so the early-exit interaction differs from the uniform scene
+run "render shell 16x8"         GS_BENCH_SCENE=shell GS_BENCH_TILE_W=16 GS_BENCH_TILE_H=8
+run "render shell 16x32"        GS_BENCH_SCENE=shell GS_BENCH_TILE_W=16 GS_BENCH_TILE_H=32
+run "render shell 32x8"         GS_BENCH_SCENE=shell GS_BENCH_TILE_W=32 GS_BENCH_TILE_H=8
+# flagship candidates: every believed-winner flag at once (render + train)
+run "render flagship"           GS_TPU_EXPAND=fused GS_TPU_POWER=horner GS_TPU_CARRY=mxsum GS_TPU_FWD_GATHER=relayout GS_TPU_CULL_BITS=32
+run "render flagship shell"     GS_BENCH_SCENE=shell GS_TPU_EXPAND=fused GS_TPU_POWER=horner GS_TPU_CARRY=mxsum GS_TPU_FWD_GATHER=relayout GS_TPU_CULL_BITS=32
+run "train flagship"            GS_BENCH_MODE=train GS_TPU_EXPAND=fused GS_TPU_POWER=horner GS_TPU_CARRY=mxsum GS_TPU_FWD_GATHER=relayout GS_TPU_CULL_BITS=32 GS_TPU_BWD_ROUTING=relayout GS_TPU_BOUNDARY_GATHER=relayout
 echo "=== stage profile (best flags: rerun manually after inspecting) ==="
 timeout 3600 python tools/profile_stages.py pre emit gather render grad routing train 2>&1 | tail -30
 echo "=== roofline (speed-of-light bounds at current flags) ==="
