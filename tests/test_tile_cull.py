@@ -11,7 +11,7 @@ import jax
 import jax.numpy as jnp
 import pytest
 
-from gaussian_splatting_tpu.ops import binning
+from gaussian_splatting_tpu.ops import binning, projection
 from gaussian_splatting_tpu.ops.projection import preprocess
 from gaussian_splatting_tpu.ops.rasterize import RasterizerConfig, rasterize
 
@@ -73,7 +73,14 @@ def test_cull_is_lossless_per_tile():
     prep = _prep(g, tile_cull=True)
     prep_ref = _prep(g, tile_cull=False)
     lo = np.asarray(prep.cull_lo)
-    hi = np.asarray(prep.cull_hi)
+    # 32-bit cull mode (GS_TPU_CULL_BITS=32) carries no hi word: the hi
+    # half is derived from the lo == -1 "full rect" sentinel, mirroring
+    # the production consumers (binning._select_tile_bit).
+    cap_bits = projection._cull_cap_bits()
+    if prep.cull_hi is None:
+        hi = np.where(lo == -1, np.int32(-1), np.int32(0))
+    else:
+        hi = np.asarray(prep.cull_hi)
     rect_min = np.asarray(prep.rect_min)
     rect_max = np.asarray(prep.rect_max)
     conic = np.asarray(prep.conic)
@@ -86,7 +93,7 @@ def test_cull_is_lossless_per_tile():
     for i in np.flatnonzero(vis)[:200]:
         rw = rect_max[i, 0] - rect_min[i, 0]
         rh = rect_max[i, 1] - rect_min[i, 1]
-        if rw * rh > 64 or rw > 8 or rh > 8:
+        if rw * rh > cap_bits or rw > 8 or rh > 8:
             assert counts[i] == rw * rh  # fallback keeps the full rect
             continue
         bm = (np.uint64(np.uint32(lo[i]))) | (
