@@ -13,6 +13,13 @@ run() {
     python bench.py 2>&1 | tail -2
 }
 
+# Pin the baseline flag state explicitly so every row below measures
+# against the SAME reference arm regardless of what the code's defaults
+# are at the time the batch runs (defaults get flipped as rows win).
+export GS_TPU_EXPAND=percol GS_TPU_POWER=moment GS_TPU_CARRY=min \
+       GS_TPU_LANE_SCAN=mm GS_TPU_FWD_GATHER=direct GS_TPU_CULL_BITS=64 \
+       GS_TPU_BWD_ROUTING=relayout GS_TPU_BOUNDARY_GATHER=relayout
+
 # K-reduction: exact tile cull on/off (the round-2 headline change)
 run "render cull=1 16x16"       GS_BENCH_TILE_CULL=1
 run "render cull=0 16x16"       GS_BENCH_TILE_CULL=0
