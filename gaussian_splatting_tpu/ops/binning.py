@@ -249,7 +249,10 @@ def _cumsum_rows(x: jnp.ndarray) -> jnp.ndarray:
 
 
 def _fused_expand() -> bool:
-    return os.environ.get("GS_TPU_EXPAND", "percol") == "fused"
+    # Default fused: bitwise identical to per-column expansion and never
+    # more passes (one scatter + one shared multi-row cumsum vs one pair
+    # per column); percol kept as the A/B arm for measurement.
+    return os.environ.get("GS_TPU_EXPAND", "fused") != "percol"
 
 
 def _expand_many(cols, offs, k):
