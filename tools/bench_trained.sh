@@ -1,0 +1,52 @@
+#!/bin/bash
+# Trained-model render benchmark (run on the TPU): generate a synthetic
+# Blender scene, train it on-chip with reference defaults (densification
+# on), then benchmark 1080p novel-view rendering of the SAVED model via
+# bench.py's ply scene mode. This is the honest form of the reference's
+# ">= 30 fps at 1080p" claim (README.md:14), which is about converged
+# scenes where opacity saturation drives the compositor's early exit —
+# the synthetic cloud is that claim's worst case, not its analog.
+#
+# Usage: bash tools/bench_trained.sh [iters] [side] [out_dir]
+set -u
+cd "$(dirname "$0")/.."
+ITERS="${1:-3000}"
+SIDE="${2:-400}"
+OUT="${3:-/tmp/vdrive/trained_bench}"
+SCENE="$OUT/scene"
+MODEL="$OUT/model"
+mkdir -p "$OUT"
+
+if [ ! -f "$SCENE/transforms_train.json" ]; then
+  echo "=== generating ${SIDE}x${SIDE} synthetic scene ==="
+  PYTHONPATH="$PWD:$PWD/tests:${PYTHONPATH:-}" timeout 1800 python - "$SCENE" "$SIDE" <<'EOF'
+import sys, os
+sys.path.insert(0, os.path.join(os.getcwd(), "tests"))
+from make_synthetic_scene import make_blender_scene
+make_blender_scene(sys.argv[1], width=int(sys.argv[2]), height=int(sys.argv[2]),
+                   n_train=24, n_test=4, P=4000, seed=7)
+EOF
+fi
+
+echo "=== training $ITERS iters (reference defaults, densify on) ==="
+timeout 7200 python train.py -s "$SCENE" -m "$MODEL" \
+  --iterations "$ITERS" --disable_viewer \
+  --test_iterations -1 --save_iterations "$ITERS" 2>&1 | tail -4
+
+PLY="$MODEL/point_cloud/iteration_$ITERS/point_cloud.ply"
+if [ ! -f "$PLY" ]; then echo "TRAIN FAILED: no $PLY"; exit 1; fi
+python - "$PLY" <<'EOF'
+import sys
+from gaussian_splatting_tpu.scene.ply import read_ply_vertex_table
+print("trained gaussians:", read_ply_vertex_table(sys.argv[1])["x"].shape[0])
+EOF
+
+echo "=== 1080p render fps on the trained model ==="
+for tiles in "16 16" "16 8" "16 32"; do
+  set -- $tiles
+  echo "--- tiles ${1}x${2} ---"
+  timeout 1800 env GS_BENCH_RETRIES=1 GS_BENCH_TIMEOUT=1500 \
+    GS_BENCH_SCENE=ply GS_BENCH_PLY="$PLY" \
+    GS_BENCH_TILE_W="$1" GS_BENCH_TILE_H="$2" \
+    python bench.py 2>&1 | tail -1
+done
