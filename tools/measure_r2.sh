@@ -20,8 +20,14 @@ export GS_TPU_EXPAND=percol GS_TPU_POWER=moment GS_TPU_CARRY=min \
        GS_TPU_LANE_SCAN=mm GS_TPU_FWD_GATHER=direct GS_TPU_CULL_BITS=64 \
        GS_TPU_BWD_ROUTING=relayout GS_TPU_BOUNDARY_GATHER=relayout
 
-# K-reduction: exact tile cull on/off (the round-2 headline change)
+# Headline rows FIRST: if the tunnel comes back with little round time
+# left, a truncated batch must still contain the flagship numbers.
+run "render flagship"           GS_TPU_EXPAND=fused GS_TPU_POWER=horner GS_TPU_CARRY=mxsum GS_TPU_FWD_GATHER=relayout GS_TPU_CULL_BITS=32
 run "render cull=1 16x16"       GS_BENCH_TILE_CULL=1
+run "train flagship"            GS_BENCH_MODE=train GS_TPU_EXPAND=fused GS_TPU_POWER=horner GS_TPU_CARRY=mxsum GS_TPU_FWD_GATHER=relayout GS_TPU_CULL_BITS=32 GS_TPU_BWD_ROUTING=relayout GS_TPU_BOUNDARY_GATHER=relayout
+run "render flagship shell"     GS_BENCH_SCENE=shell GS_TPU_EXPAND=fused GS_TPU_POWER=horner GS_TPU_CARRY=mxsum GS_TPU_FWD_GATHER=relayout GS_TPU_CULL_BITS=32
+
+# K-reduction: exact tile cull on/off (the round-2 headline change)
 run "render cull=0 16x16"       GS_BENCH_TILE_CULL=0
 # tile-size matrix (cull on): smaller tiles fit the ellipse tighter so the
 # kernel does less pixel-x-entry work, at the price of more sorted entries
@@ -29,6 +35,10 @@ run "render cull=1 16x8"        GS_BENCH_TILE_W=16 GS_BENCH_TILE_H=8
 run "render cull=1 8x16"        GS_BENCH_TILE_W=8 GS_BENCH_TILE_H=16
 run "render cull=1 32x8"        GS_BENCH_TILE_W=32 GS_BENCH_TILE_H=8
 run "render cull=1 16x32"       GS_BENCH_TILE_W=16 GS_BENCH_TILE_H=32
+# 64 px/entry: 4x less pixel work per entry than 16x16 — the kernel runs at
+# ~92% of VPU peak per lane op, so ops x K x pixels is the only lever; for
+# small-splat (trained-like) scenes K grows little while pixels/entry drop 4x
+run "render cull=1 8x8"         GS_BENCH_TILE_W=8 GS_BENCH_TILE_H=8
 run "render cull=1 bits32"      GS_TPU_CULL_BITS=32
 # lane-scan + bwd-routing A/B (train)
 run "train boundary concat"     GS_BENCH_MODE=train GS_TPU_BOUNDARY_GATHER=concat
@@ -54,10 +64,19 @@ run "train shell"               GS_BENCH_MODE=train GS_BENCH_SCENE=shell
 run "render shell 16x8"         GS_BENCH_SCENE=shell GS_BENCH_TILE_W=16 GS_BENCH_TILE_H=8
 run "render shell 16x32"        GS_BENCH_SCENE=shell GS_BENCH_TILE_W=16 GS_BENCH_TILE_H=32
 run "render shell 32x8"         GS_BENCH_SCENE=shell GS_BENCH_TILE_W=32 GS_BENCH_TILE_H=8
-# flagship candidates: every believed-winner flag at once (render + train)
-run "render flagship"           GS_TPU_EXPAND=fused GS_TPU_POWER=horner GS_TPU_CARRY=mxsum GS_TPU_FWD_GATHER=relayout GS_TPU_CULL_BITS=32
-run "render flagship shell"     GS_BENCH_SCENE=shell GS_TPU_EXPAND=fused GS_TPU_POWER=horner GS_TPU_CARRY=mxsum GS_TPU_FWD_GATHER=relayout GS_TPU_CULL_BITS=32
-run "train flagship"            GS_BENCH_MODE=train GS_TPU_EXPAND=fused GS_TPU_POWER=horner GS_TPU_CARRY=mxsum GS_TPU_FWD_GATHER=relayout GS_TPU_CULL_BITS=32 GS_TPU_BWD_ROUTING=relayout GS_TPU_BOUNDARY_GATHER=relayout
+run "render shell 8x8"          GS_BENCH_SCENE=shell GS_BENCH_TILE_W=8 GS_BENCH_TILE_H=8
+# Refresh the committed last-known-good (MEASURED.json) with the CODE
+# DEFAULT flag configuration, so the driver's end-of-round bench.py has a
+# fresh fallback even if nobody is around to flip flags after this batch.
+echo "=== refresh MEASURED.json at code-default flags ==="
+(
+  unset GS_TPU_EXPAND GS_TPU_POWER GS_TPU_CARRY GS_TPU_LANE_SCAN \
+        GS_TPU_FWD_GATHER GS_TPU_CULL_BITS GS_TPU_BWD_ROUTING \
+        GS_TPU_BOUNDARY_GATHER
+  run "render DEFAULTS"
+  run "train DEFAULTS"          GS_BENCH_MODE=train
+  run "render DEFAULTS shell"   GS_BENCH_SCENE=shell
+)
 echo "=== stage profile (best flags: rerun manually after inspecting) ==="
 timeout 3600 python tools/profile_stages.py pre emit gather render grad routing train 2>&1 | tail -30
 echo "=== roofline (speed-of-light bounds at current flags) ==="
