@@ -51,8 +51,10 @@ cam = Camera(
 ).arrays()
 bg = jnp.zeros(3, jnp.float32)
 
-GRID_X = (W + 15) // 16
-GRID_Y = (H + 15) // 16
+TILE_W = int(os.environ.get("GS_BENCH_TILE_W", 16))
+TILE_H = int(os.environ.get("GS_BENCH_TILE_H", 16))
+GRID_X = (W + TILE_W - 1) // TILE_W
+GRID_Y = (H + TILE_H - 1) // TILE_H
 NUM_TILES = GRID_X * GRID_Y
 TILE_CULL = os.environ.get("GS_BENCH_TILE_CULL", "1") != "0"
 
@@ -60,7 +62,7 @@ TILE_CULL = os.environ.get("GS_BENCH_TILE_CULL", "1") != "0"
 @jax.jit
 def _count():
     prep = preprocess(
-        means, scales, quats, opacities, shs, 3, cam, W, H, 16, 16,
+        means, scales, quats, opacities, shs, 3, cam, W, H, TILE_W, TILE_H,
         tile_cull=TILE_CULL,
     )
     return jnp.sum(prep.tiles_touched)
@@ -97,7 +99,7 @@ def chain_time(fn, label, n=N_ITERS, reps=3):
 
 def _prep(c):
     return preprocess(
-        means + c * 0, scales, quats, opacities, shs, 3, cam, W, H, 16, 16,
+        means + c * 0, scales, quats, opacities, shs, 3, cam, W, H, TILE_W, TILE_H,
         tile_cull=TILE_CULL,
     )
 
@@ -311,6 +313,94 @@ def stage_micro():
         return jnp.sum(starts).astype(jnp.float32)
 
     chain_time(bscat, "boundary-scatter ranges")
+
+
+def stage_emitparts():
+    """Decompose emit_sorted_records + the bwd routing chain into their
+    primitive costs at the real pipeline shapes, so 'emit+sort = 28 ms'
+    and 'routing = 112 ms' (round-3 stage profile) can be attributed to
+    individual ops instead of a cost model."""
+    from gaussian_splatting_tpu.ops import composite_pallas as cp
+
+    K = CAP
+    rng2 = np.random.default_rng(4)
+    counts = jnp.asarray(rng2.integers(0, 20, P), jnp.int32)
+    col = jnp.asarray(rng2.integers(0, 2**20, P), jnp.int32)
+    offs = jnp.cumsum(counts) - counts
+    cols6 = [col + i for i in range(6)]
+    cols4 = cols6[:4]
+    cols3 = cols6[:3]
+
+    for cols, lbl in ((cols3, "3"), (cols4, "4"), (cols6, "6")):
+        def f(c, cols=cols):
+            out = binning._expand_many(
+                [cc + (c * 0).astype(jnp.int32) for cc in cols], offs, K
+            )
+            return sum(jnp.sum(o) for o in out).astype(jnp.float32)
+
+        chain_time(f, f"expand_many {lbl} cols")
+
+    def f_c1(c):
+        return jnp.sum(
+            binning._cumsum_1d(counts + (c * 0).astype(jnp.int32))
+        ).astype(jnp.float32)
+
+    chain_time(f_c1, "cumsum_1d (P,)")
+
+    e_lo = jnp.asarray(rng2.integers(-1, 2**31 - 1, K, endpoint=True), jnp.int32)
+    e_hi = jnp.zeros((K,), jnp.int32)
+    local = jnp.asarray(rng2.integers(0, 30, K), jnp.int32)
+    e_rw = jnp.asarray(rng2.integers(1, 9, K), jnp.int32)
+
+    def f_bit(c):
+        out = binning._select_tile_bit(
+            e_lo + (c * 0).astype(jnp.int32), e_hi, local
+        )
+        return jnp.sum(out).astype(jnp.float32)
+
+    chain_time(f_bit, "select_tile_bit (K,)")
+
+    def f_divmod(c):
+        l2 = local + (c * 0).astype(jnp.int32)
+        return jnp.sum(l2 // e_rw + l2 % e_rw).astype(jnp.float32)
+
+    chain_time(f_divmod, "int div+mod by e_rw (K,)")
+
+    # routing-chain pieces, individually (cf. stage_routing = the chain)
+    gid = jnp.sort(jnp.asarray(rng2.integers(0, P, K), jnp.int32))
+    drec = jnp.asarray(rng2.normal(size=(16, K)), jnp.float32)
+    ord2 = jnp.asarray(rng2.permutation(K), jnp.int32)
+
+    def f_s2(c):
+        a, b = jax.lax.sort(
+            (gid + (c * 0).astype(jnp.int32), jnp.arange(K, dtype=jnp.int32)),
+            num_keys=1, is_stable=False,
+        )
+        return (jnp.sum(a) + jnp.sum(b)).astype(jnp.float32)
+
+    chain_time(f_s2, "(gid,iota) 2-op sort")
+
+    def f_rows(c):
+        return jnp.sum(cp.relayout_to_rows(drec + c * 0))
+
+    chain_time(f_rows, "relayout_to_rows (16,K)->(K,16)")
+
+    def f_rowgather(c):
+        rows = cp.relayout_to_rows(drec + c * 0)
+        return jnp.sum(rows[ord2])
+
+    chain_time(f_rowgather, "relayout + (K,16) row gather")
+
+    def f_sandwich(c):
+        rows = cp.relayout_to_rows(drec + c * 0)
+        return jnp.sum(cp.relayout_to_cols(rows[ord2])[:9])
+
+    chain_time(f_sandwich, "relayout sandwich gather (bwd)")
+
+    def f_csrows(c):
+        return jnp.sum(binning._cumsum_rows((drec + c * 0)[:9]))
+
+    chain_time(f_csrows, "cumsum_rows (9,K)")
 
 
 def stage_grad():
@@ -527,6 +617,7 @@ STAGES = {
     "routing": stage_routing,
     "sat": stage_sat,
     "micro": stage_micro,
+    "emitparts": stage_emitparts,
 }
 
 if __name__ == "__main__":
