@@ -219,7 +219,10 @@ def _run():
     # K=2962176 renders 36% slower than K=2960640), and coarse buckets are
     # also what training's capacity growth uses.
     bucket = 1 << 18
-    capacity = max(8 * P, -(int(n_entries * 1.02) // -bucket) * bucket)
+    # No 8*P floor: at large tiles the true entry count can sit well below
+    # 8P, and every K-sized stage (expand, sort, gather, kernel grid) runs
+    # at the CAPACITY shape, so an inflated floor taxes the whole frame.
+    capacity = max(bucket, -(int(n_entries * 1.02) // -bucket) * bucket)
     if "GS_BENCH_CAPMULT" in os.environ:
         capacity = cap_mult * P
         if n_entries > capacity:

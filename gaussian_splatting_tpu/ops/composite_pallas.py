@@ -629,33 +629,41 @@ def _render_core_bwd(cfg, res, cts):
     drec = _bwd_call(kcfg, rec, img, g_img, g_ft, ft, v, oy)
 
     # Route per-entry gradients back to gaussians. A direct segment_sum
-    # lowers to a slow TPU scatter-add (~57 ms at 4M entries); instead:
-    # group entries by gaussian with a 2-operand sort (inverting a
-    # permutation IS a sort on TPU), apply it with one row gather, and
-    # reduce the now-contiguous runs by prefix sums + boundary
-    # differences. Padding entries carry the P sentinel id, sort last,
-    # and fall outside every run — this also quarantines uninitialized
-    # gradient blocks of never-visited padding space.
+    # lowers to a slow TPU scatter-add (~57 ms at 4M entries). Grouping
+    # entries by gaussian with an argsort + row gather is also slow: a
+    # random row gather from a K-sized table measured ~49 ms at K=2.1M
+    # (~2x the P-table form; profile_stages `gforms`, round 3). The fast
+    # form carries the nine gradient columns through the sort as PAYLOAD
+    # operands: each extra sort operand costs ~1.5-2 ms, so a 10-operand
+    # (gid, d0..d8) sort lands around ~16 ms — the regroup and the gather
+    # in one pass, ~3x cheaper than sort+gather. The now-contiguous runs
+    # reduce by prefix sums + boundary differences. Padding entries carry
+    # the P sentinel id, sort last, and fall outside every run — this
+    # also quarantines uninitialized gradient blocks of never-visited
+    # padding space.
     k = gid.shape[0]
-    _, ord2 = jax.lax.sort(
-        (gid, jnp.arange(k, dtype=jnp.int32)), num_keys=1, is_stable=False
-    )
     import os
 
-    if os.environ.get("GS_TPU_BWD_ROUTING", "relayout") == "relayout":
-        # drec is (16, K) with K-contiguous rows, so `drec.T[ord2]` would
-        # gather SULANE-strided columns: 16 scattered 4-byte reads per
-        # entry (~37 ms at 3M entries). Sandwich the gather between two
-        # streaming Pallas transposes instead: the Mosaic boundaries pin
-        # {1,0} layouts, the gather reads contiguous 64-byte rows
-        # (~15 ms, same as the forward record gather), and the two
-        # transposes stream at HBM bandwidth.
-        drec_rows = relayout_to_rows(drec)  # (K, 16), rows contiguous
-        dsorted = relayout_to_cols(drec_rows[ord2])[:9]
+    mode = os.environ.get("GS_TPU_BWD_ROUTING", "sort")
+    if mode == "sort":
+        sorted_ops = jax.lax.sort(
+            (gid,) + tuple(drec[i] for i in range(9)),
+            num_keys=1, is_stable=False,
+        )
+        dsorted = jnp.stack(sorted_ops[1:], axis=0)  # (9, K) runs by gid
     else:
-        # direct XLA gather (the {0,1}-layout strided form), kept for
-        # A/B measurement via GS_TPU_BWD_ROUTING=direct
-        dsorted = drec.T[ord2].T[:9]  # (9, K), gaussian-contiguous runs
+        _, ord2 = jax.lax.sort(
+            (gid, jnp.arange(k, dtype=jnp.int32)), num_keys=1, is_stable=False
+        )
+        if mode == "relayout":
+            # sandwich the row gather between two streaming Pallas
+            # transposes to pin {1,0} layouts (A/B: measured SLOWER than
+            # the payload sort at every operating point tried)
+            drec_rows = relayout_to_rows(drec)  # (K, 16), rows contiguous
+            dsorted = relayout_to_cols(drec_rows[ord2])[:9]
+        else:
+            # direct XLA gather, kept for A/B via GS_TPU_BWD_ROUTING=direct
+            dsorted = drec.T[ord2].T[:9]  # (9, K), gaussian-contiguous runs
     # run boundaries: entries of gaussian g occupy [ends[g]-cnt[g], ends[g])
     ends = binning._cumsum_1d(gcounts)
     starts = ends - gcounts

@@ -23,7 +23,16 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-_RELAYOUT_BLK = 256  # capacity is always a BLOCK (=256) multiple
+# Per-call block width. Grid-step overhead (~1 us) dominated the original
+# 256-wide blocks (K/256 ~ 8k steps = ~7.5 ms measured at K=2.1M); wide
+# blocks amortize it while staying far under VMEM (16 cols x 16384 x 4 B
+# = 1 MB per operand). Capacity is always a BLOCK(=256) multiple, so the
+# effective block is gcd-compatible: fall back to 256 when K is small.
+_RELAYOUT_BLK = 16384
+
+
+def _blk(k: int) -> int:
+    return _RELAYOUT_BLK if k % _RELAYOUT_BLK == 0 else 256
 
 
 def _interpret() -> bool:
@@ -41,15 +50,16 @@ def relayout_to_rows(x: jnp.ndarray) -> jnp.ndarray:
     strided layout through a custom call, so a row gather consuming this
     output reads contiguous 4*R-byte rows instead of R strided columns."""
     r, k = x.shape
-    assert k % _RELAYOUT_BLK == 0, (r, k)
+    blk = _blk(k)
+    assert k % blk == 0, (r, k)
     return pl.pallas_call(
         _to_rows_kernel,
-        grid=(k // _RELAYOUT_BLK,),
+        grid=(k // blk,),
         in_specs=[
-            pl.BlockSpec((r, _RELAYOUT_BLK), lambda b: (0, b),
+            pl.BlockSpec((r, blk), lambda b: (0, b),
                          memory_space=pltpu.VMEM)
         ],
-        out_specs=pl.BlockSpec((_RELAYOUT_BLK, r), lambda b: (b, 0),
+        out_specs=pl.BlockSpec((blk, r), lambda b: (b, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((k, r), x.dtype),
         interpret=_interpret(),
@@ -59,15 +69,16 @@ def relayout_to_rows(x: jnp.ndarray) -> jnp.ndarray:
 def relayout_to_cols(x: jnp.ndarray) -> jnp.ndarray:
     """Inverse of relayout_to_rows: (K, R) -> (R, K)."""
     k, r = x.shape
-    assert k % _RELAYOUT_BLK == 0, (k, r)
+    blk = _blk(k)
+    assert k % blk == 0, (k, r)
     return pl.pallas_call(
         _to_rows_kernel,
-        grid=(k // _RELAYOUT_BLK,),
+        grid=(k // blk,),
         in_specs=[
-            pl.BlockSpec((_RELAYOUT_BLK, r), lambda b: (b, 0),
+            pl.BlockSpec((blk, r), lambda b: (b, 0),
                          memory_space=pltpu.VMEM)
         ],
-        out_specs=pl.BlockSpec((r, _RELAYOUT_BLK), lambda b: (0, b),
+        out_specs=pl.BlockSpec((r, blk), lambda b: (0, b),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((r, k), x.dtype),
         interpret=_interpret(),

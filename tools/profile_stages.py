@@ -70,7 +70,7 @@ def _count():
 
 n_entries = int(_count())
 bucket = 1 << 18
-CAP = max(8 * P, -(int(n_entries * 1.02) // -bucket) * bucket)
+CAP = max(bucket, -(int(n_entries * 1.02) // -bucket) * bucket)
 print(f"P={P} entries={n_entries} capacity={CAP} tiles={NUM_TILES}")
 
 
@@ -403,6 +403,110 @@ def stage_emitparts():
     chain_time(f_csrows, "cumsum_rows (9,K)")
 
 
+def stage_gforms():
+    """Decide the fastest record-gather FORM at pipeline shapes: the
+    gather's measured cost swings 15->53 ms with its consumer (XLA layout
+    assignment) and its table size. Each row isolates one form."""
+    from functools import partial as _p
+
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    from gaussian_splatting_tpu.ops import relayout as rl
+
+    K = CAP
+    R = 16
+    rng2 = np.random.default_rng(5)
+    table = jnp.asarray(rng2.normal(size=(P, R)), jnp.float32)
+    idx = jnp.asarray(rng2.integers(0, P, K), jnp.int32)
+    bigtab = jnp.asarray(rng2.normal(size=(K, R)), jnp.float32)
+    ord2 = jnp.asarray(rng2.permutation(K), jnp.int32)
+
+    def f_clean(c):
+        return jnp.sum(table[idx + (c * 0).astype(jnp.int32)][:, :9])
+
+    chain_time(f_clean, "gather (K,16) rows, sum[:9]")
+
+    def f_pipet(c):
+        return jnp.sum(table[idx + (c * 0).astype(jnp.int32)].T[:9])
+
+    chain_time(f_pipet, "gather rows + .T (fwd pipeline)")
+
+    BLK = 16384
+
+    def _sum_rows_kernel(x_ref, o_ref):
+        @pl.when(pl.program_id(0) == 0)
+        def _():
+            o_ref[...] = jnp.zeros_like(o_ref)
+
+        o_ref[...] += jnp.sum(x_ref[...], axis=0, keepdims=True)
+
+    def _consume_rows(x):  # (K, R) row-major Pallas consumer
+        return pl.pallas_call(
+            _sum_rows_kernel,
+            grid=(x.shape[0] // BLK,),
+            in_specs=[pl.BlockSpec((BLK, R), lambda b: (b, 0),
+                                   memory_space=pltpu.VMEM)],
+            out_specs=pl.BlockSpec((1, R), lambda b: (0, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((1, R), jnp.float32),
+        )(x)
+
+    def f_pallas_rows(c):
+        g = table[idx + (c * 0).astype(jnp.int32)]
+        return jnp.sum(_consume_rows(g))
+
+    chain_time(f_pallas_rows, "gather rows -> pallas row consumer")
+
+    def _sum_t_kernel(x_ref, o_ref):
+        @pl.when(pl.program_id(0) == 0)
+        def _():
+            o_ref[...] = jnp.zeros_like(o_ref)
+
+        o_ref[...] += jnp.sum(x_ref[...].T, axis=1, keepdims=True)
+
+    def _consume_t(x):  # (K, R) blocks transposed in-kernel to (R, BLK)
+        return pl.pallas_call(
+            _sum_t_kernel,
+            grid=(x.shape[0] // BLK,),
+            in_specs=[pl.BlockSpec((BLK, R), lambda b: (b, 0),
+                                   memory_space=pltpu.VMEM)],
+            out_specs=pl.BlockSpec((R, 1), lambda b: (0, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((R, 1), jnp.float32),
+        )(x)
+
+    def f_pallas_t(c):
+        g = table[idx + (c * 0).astype(jnp.int32)]
+        return jnp.sum(_consume_t(g))
+
+    chain_time(f_pallas_t, "gather rows -> pallas .T consumer")
+
+    def f_bigtab(c):
+        return jnp.sum(bigtab[ord2 + (c * 0).astype(jnp.int32)][:, :9])
+
+    chain_time(f_bigtab, "gather rows from (K,16) table (bwd)")
+
+    def f_sandwich2(c):
+        g = bigtab[ord2 + (c * 0).astype(jnp.int32)]
+        return jnp.sum(rl.relayout_to_cols(g)[:9])
+
+    chain_time(f_sandwich2, "bwd gather -> relayout_to_cols (wide)")
+
+    def f_bigtab_pallas(c):
+        g = bigtab[ord2 + (c * 0).astype(jnp.int32)]
+        return jnp.sum(_consume_t(g))
+
+    chain_time(f_bigtab_pallas, "bwd gather -> pallas .T consumer")
+
+    drec16 = jnp.asarray(rng2.normal(size=(16, K)), jnp.float32)
+
+    def f_rl_rows(c):
+        return jnp.sum(rl.relayout_to_rows(drec16 + c * 0))
+
+    chain_time(f_rl_rows, "relayout_to_rows wide blocks")
+
+
 def stage_grad():
     """Full forward+backward through rasterize (the train step's raster
     part, without losses/Adam). Honors GS_TPU_* routing/scan env flags."""
@@ -618,6 +722,7 @@ STAGES = {
     "sat": stage_sat,
     "micro": stage_micro,
     "emitparts": stage_emitparts,
+    "gforms": stage_gforms,
 }
 
 if __name__ == "__main__":
