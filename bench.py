@@ -132,9 +132,9 @@ def _run():
     chunk = int(os.environ.get("GS_BENCH_CHUNK", 1024))
     cap_mult = int(os.environ.get("GS_BENCH_CAPMULT", 8))
     mode = os.environ.get("GS_BENCH_MODE", "render")
-    tile_w = int(os.environ.get("GS_BENCH_TILE_W", 16))
+    tile_w = int(os.environ.get("GS_BENCH_TILE_W", 32))
     tile_h = int(os.environ.get("GS_BENCH_TILE_H", 16))
-    tile_cull = os.environ.get("GS_BENCH_TILE_CULL", "1") != "0"
+    tile_cull = os.environ.get("GS_BENCH_TILE_CULL", "0") != "0"
 
     rng = np.random.default_rng(0)
     scene = os.environ.get("GS_BENCH_SCENE", "cloud")
@@ -218,7 +218,7 @@ def _run():
     # quality is chaotically shape-sensitive at fine granularity (measured:
     # K=2962176 renders 36% slower than K=2960640), and coarse buckets are
     # also what training's capacity growth uses.
-    bucket = 1 << 18
+    bucket = 1 << int(os.environ.get("GS_BENCH_BUCKET_BITS", 18))
     # No 8*P floor: at large tiles the true entry count can sit well below
     # 8P, and every K-sized stage (expand, sort, gather, kernel grid) runs
     # at the CAPACITY shape, so an inflated floor taxes the whole frame.

@@ -100,7 +100,8 @@ def render_sets(dataset, iteration, pipe, skip_train=False, skip_test=False):
     params, alive = load_model_padded(scene)
     bg = jnp.asarray([1.0, 1.0, 1.0] if dataset.white_background else [0.0, 0.0, 0.0])
     raster_cfg = RasterizerConfig(
-        tile_w=pipe.tile_size, tile_h=pipe.tile_size,
+        tile_w=pipe.tile_size,
+        tile_h=(pipe.tile_size_y or pipe.tile_size),
         capacity_mult=pipe.capacity_mult, backend=resolve_backend(pipe.backend),
         tile_cull=pipe.tile_cull,
     )
@@ -136,7 +137,9 @@ def main(argv=None):
     if getattr(args, "backend", None) is None:
         args.backend = "auto"
     if getattr(args, "tile_size", None) is None:
-        args.tile_size = 16
+        args.tile_size = 32
+    if getattr(args, "tile_size_y", None) is None:
+        args.tile_size_y = 16
     if getattr(args, "capacity_mult", None) is None:
         args.capacity_mult = 8
     render_sets(

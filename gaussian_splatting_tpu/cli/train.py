@@ -75,7 +75,7 @@ def training(
     )
     raster_cfg = RasterizerConfig(
         tile_w=pipe.tile_size,
-        tile_h=pipe.tile_size,
+        tile_h=(pipe.tile_size_y or pipe.tile_size),
         capacity_mult=pipe.capacity_mult,
         backend=resolve_backend(pipe.backend),
         tile_cull=pipe.tile_cull,

@@ -76,11 +76,20 @@ class PipelineParams(ParamGroup):
     compute_cov3D_python: bool = False
     debug: bool = False
     backend: str = "auto"  # "auto" | "xla" | "pallas" | "reference"
-    tile_size: int = 16
+    # Tile shape. The reference's 16x16 (config.h:15-17) is a CUDA
+    # blocking choice; on TPU the frame cost is dominated by K-sized
+    # stream stages (sort/gather/expand scale with the number of tile
+    # entries), so WIDER tiles win: 32x16 measured 17.1 fps vs 14.9 at
+    # 16x16 on the 1080p/262k bench (MEASURE_r3b.log). tile_size_y = 0
+    # means "same as tile_size".
+    tile_size: int = 32
+    tile_size_y: int = 16
     capacity_mult: int = 8
     # Exact per-tile ellipse cull (lossless; see ops/projection.
-    # tile_cull_bitmaps): shrinks the sorted tile lists ~25-50%. Off by
-    # default until the TPU A/B confirms it, then flipped.
+    # tile_cull_bitmaps): shrinks the sorted tile lists on anisotropic
+    # scenes, but its expansion columns + bitmap loop cost more than the
+    # entry reduction saves at the benchmark operating point (round-3
+    # A/B: 14.54 fps cull vs 14.95 nocull at 16x16). Off by default.
     tile_cull: bool = False
 
 

@@ -104,10 +104,12 @@ def _use_mm_scan() -> bool:
 
 def _use_horner_power() -> bool:
     """A/B switch: Horner-factored power polynomial (fewer lane ops,
-    different f32 rounding) vs the parity moment form."""
+    different f32 rounding) vs the parity moment form. Horner measured
+    +0.9 fps at the 32x16/1080p operating point (MEASURE_r3c.log) and is
+    the default; set GS_TPU_POWER=moment for the bit-parity form."""
     import os
 
-    return os.environ.get("GS_TPU_POWER", "moment") == "horner"
+    return os.environ.get("GS_TPU_POWER", "horner") == "horner"
 
 
 def _use_mx_carry() -> bool:
@@ -121,7 +123,7 @@ def _use_mx_carry() -> bool:
     the unmasked-by-skip sum is already correct. Requires mm scan."""
     import os
 
-    return _use_mm_scan() and os.environ.get("GS_TPU_CARRY", "min") == "mxsum"
+    return _use_mm_scan() and os.environ.get("GS_TPU_CARRY", "mxsum") == "mxsum"
 
 
 def _lane_scan(x: jnp.ndarray, op, fill) -> jnp.ndarray:

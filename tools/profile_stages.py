@@ -51,12 +51,12 @@ cam = Camera(
 ).arrays()
 bg = jnp.zeros(3, jnp.float32)
 
-TILE_W = int(os.environ.get("GS_BENCH_TILE_W", 16))
+TILE_W = int(os.environ.get("GS_BENCH_TILE_W", 32))
 TILE_H = int(os.environ.get("GS_BENCH_TILE_H", 16))
 GRID_X = (W + TILE_W - 1) // TILE_W
 GRID_Y = (H + TILE_H - 1) // TILE_H
 NUM_TILES = GRID_X * GRID_Y
-TILE_CULL = os.environ.get("GS_BENCH_TILE_CULL", "1") != "0"
+TILE_CULL = os.environ.get("GS_BENCH_TILE_CULL", "0") != "0"
 
 
 @jax.jit
