@@ -214,11 +214,14 @@ def _run():
         return jnp.sum(prep.tiles_touched)
 
     n_entries = int(count_entries())
-    # Snap to a coarse bucket grid (multiples of 2^18): compiled-binary
-    # quality is chaotically shape-sensitive at fine granularity (measured:
-    # K=2962176 renders 36% slower than K=2960640), and coarse buckets are
-    # also what training's capacity growth uses.
-    bucket = 1 << int(os.environ.get("GS_BENCH_BUCKET_BITS", 18))
+    # Snap to a coarse bucket grid: compiled-binary quality is chaotically
+    # shape-sensitive at fine granularity (measured: K=2962176 renders 36%
+    # slower than K=2960640), and coarse buckets are also what training's
+    # capacity growth uses. 2^17 measured fastest at the flagship point
+    # (19.0 vs 17.8 fps with 2^18 padding, MEASURE_r3e.log) — less padding
+    # means every K-sized stage (expand, sort, gather, kernel grid) runs
+    # closer to the true entry count.
+    bucket = 1 << int(os.environ.get("GS_BENCH_BUCKET_BITS", 17))
     # No 8*P floor: at large tiles the true entry count can sit well below
     # 8P, and every K-sized stage (expand, sort, gather, kernel grid) runs
     # at the CAPACITY shape, so an inflated floor taxes the whole frame.

@@ -441,21 +441,12 @@ def emit_sorted_records(
         axis=1,
     )  # (P, REC_ROWS)
     ids = jnp.minimum(s_gid, p - 1)
-    if (
-        os.environ.get("GS_TPU_FWD_GATHER", "direct") == "relayout"
-        and k % 256 == 0
-    ):
-        # Pin the gather's OUTPUT layout with a Pallas relayout (Mosaic
-        # operands take {1,0}), forcing contiguous 64-byte row writes. In
-        # the direct form XLA may fold the .T into a {0,1} gather output
-        # layout to feed the kernel's (REC_ROWS, K) operand — 16 strided
-        # 4-byte writes per entry, the slow gather form (~37 ms vs ~15 ms
-        # at 3M entries). A/B via GS_TPU_FWD_GATHER.
-        from gaussian_splatting_tpu.ops.relayout import relayout_to_cols
-
-        rec = relayout_to_cols(prow[ids])  # (REC_ROWS, K)
-    else:
-        rec = prow[ids].T  # (REC_ROWS, K)
+    # Direct XLA row gather + .T. Round-3 gforms measured the gather's
+    # ~12 ns/row cost INVARIANT to consumer/output layout at these
+    # shapes, so the Pallas layout-pinning sandwich (relayout_to_cols)
+    # bought nothing here and was deleted (MEASURE_r3b.log: relayout
+    # 14.0 vs direct 14.9 fps at 16x16; same ordering at 32x32).
+    rec = prow[ids].T  # (REC_ROWS, K)
 
     tile_start, tile_stop = _tile_ranges(s_tile, num_tiles)
     return SortedRecords(

@@ -94,14 +94,6 @@ def _mm_scan(x: jnp.ndarray, strict: bool) -> jnp.ndarray:
     )
 
 
-def _use_mm_scan() -> bool:
-    """A/B switch (read at trace time): MXU matmul scans vs Hillis-Steele
-    roll scans. Both are replay-exact (fwd and bwd share _blend_state)."""
-    import os
-
-    return os.environ.get("GS_TPU_LANE_SCAN", "mm") != "roll"
-
-
 def _use_horner_power() -> bool:
     """A/B switch: Horner-factored power polynomial (fewer lane ops,
     different f32 rounding) vs the parity moment form. Horner measured
@@ -112,31 +104,16 @@ def _use_horner_power() -> bool:
     return os.environ.get("GS_TPU_POWER", "horner") == "horner"
 
 
-def _use_mx_carry() -> bool:
-    """A/B switch: compute the chunk's transmittance carry as an MXU
-    masked log-sum matvec instead of a lane min-reduce. The min-reduce is
-    ~7-9 VPU ops per (pixel, entry) element (~15-20% of the compositing
-    kernels' lane-op budget); the matvec is one select plus a (TPX, CH) x
-    (CH, 1) MXU pass. Values agree to reduction rounding: by monotonicity
-    min over included test equals t_carry * exp(sum of log(1-alpha) over
-    lanes with test >= T_EPS) — skipped lanes contribute log(1) = 0, so
-    the unmasked-by-skip sum is already correct. Requires mm scan."""
-    import os
-
-    return _use_mm_scan() and os.environ.get("GS_TPU_CARRY", "mxsum") == "mxsum"
-
-
-def _lane_scan(x: jnp.ndarray, op, fill) -> jnp.ndarray:
-    """Inclusive lane-axis prefix scan via log2(CH) VPU roll steps —
-    the alternative to _mm_scan that stays off the MXU and (for products)
-    avoids the log/exp pair."""
-    lane = jax.lax.broadcasted_iota(_i32, x.shape, 1)
-    k = 1
-    while k < CH:
-        shifted = pltpu.roll(x, k, 1)
-        x = op(x, jnp.where(lane >= k, shifted, fill))
-        k *= 2
-    return x
+# Measured A/B outcomes baked in (MEASURE_r3d.log, v5e 1080p flagship):
+# - lane-axis prefix scans run as MXU matmuls in log space; the 7-step
+#   Hillis-Steele roll-scan alternative measured 16.9 vs 17.8 fps and
+#   was deleted.
+# - the chunk transmittance carry is an MXU masked log-sum matvec; the
+#   lane min-reduce alternative (~7-9 VPU ops per element, ~15-20% of the
+#   kernels' lane-op budget) measured slower and was deleted. The values
+#   agree to reduction rounding: by monotonicity, min over included
+#   `test` equals t_carry * exp(sum of log(1-alpha) over lanes with
+#   test >= T_EPS) — skipped lanes contribute log(1) = 0.
 
 
 def _shift_one(x: jnp.ndarray, fill) -> jnp.ndarray:
@@ -145,12 +122,9 @@ def _shift_one(x: jnp.ndarray, fill) -> jnp.ndarray:
     return jnp.where(lane >= 1, pltpu.roll(x, 1, 1), fill)
 
 
-# Streaming layout-pinning transposes (shared with binning's flag-gated
-# forward record gather; re-exported here for existing callers).
-from gaussian_splatting_tpu.ops.relayout import (  # noqa: E402
-    relayout_to_cols,
-    relayout_to_rows,
-)
+# Streaming layout-pinning transpose (used by the boundary gathers in
+# the backward routing; re-exported for the profiler's stages).
+from gaussian_splatting_tpu.ops.relayout import relayout_to_rows  # noqa: E402
 
 
 def _visit_meta(w, vt_ref, ts_ref, tp_ref, vo_ref):
@@ -286,39 +260,25 @@ def _blend_state(geo, t_carry):
     # both kernels with bit-identical outputs.
     am = jnp.where(skip, 0.0, alpha)
     om = 1.0 - am  # blend factor, 1 if skipped
-    logom = None
-    if _use_mm_scan():
-        logom = jnp.log(om)
-        excl = jnp.exp(_mm_scan(logom, strict=True))
-    else:
-        excl = _shift_one(_lane_scan(om, jnp.multiply, 1.0), 1.0)
+    logom = jnp.log(om)
+    excl = jnp.exp(_mm_scan(logom, strict=True))
     t_entry = t_carry * excl  # transmittance before entry i (negative if done)
     test = t_entry * om  # monotone non-increasing along lanes
     tcmp = test >= T_EPS
     wgt = jnp.where(tcmp, am * t_entry, 0.0)  # (TPX, CH)
     # carry update: |new| = T after the last included entry; sign goes
     # negative when the chunk's tail crossed the early-exit threshold
-    # (covers already-saturated carries).
-    if _use_mx_carry():
-        # T after last included entry = |t_carry| * prod over lanes with
-        # test >= T_EPS of om (skipped lanes have om = 1, logom = 0, so no
-        # skip mask is needed); with zero such lanes the sum is 0 and the
-        # carry magnitude is unchanged — exactly the min path's fallback.
-        row = jax.lax.dot_general(
-            jnp.where(tcmp, logom, 0.0),
-            jnp.ones((CH, 1), _f32),
-            (((1,), (0,)), ((), ())),
-            preferred_element_type=_f32, precision=_HI,
-        )  # (TPX, 1)
-        base = jnp.abs(t_carry) * jnp.exp(row)
-    else:
-        # lane min-reduce masked by tcmp alone: `test` is monotone and a
-        # skipped lane repeats the last included lane's value, so the min
-        # over tcmp lanes IS the T after the last included entry.
-        base = jnp.minimum(
-            jnp.min(jnp.where(tcmp, test, jnp.inf), axis=1, keepdims=True),
-            jnp.abs(t_carry),
-        )
+    # (covers already-saturated carries). T after the last included entry
+    # = |t_carry| * prod over lanes with test >= T_EPS of om (skipped
+    # lanes have om = 1, logom = 0, so no skip mask is needed); with zero
+    # such lanes the sum is 0 and the carry magnitude is unchanged.
+    row = jax.lax.dot_general(
+        jnp.where(tcmp, logom, 0.0),
+        jnp.ones((CH, 1), _f32),
+        (((1,), (0,)), ((), ())),
+        preferred_element_type=_f32, precision=_HI,
+    )  # (TPX, 1)
+    base = jnp.abs(t_carry) * jnp.exp(row)
     new_t = jnp.where(test[:, CH - 1:CH] < T_EPS, -base, base)
     return dict(
         am=am, om=om, t_entry=t_entry, test=test, tcmp=tcmp, wgt=wgt,
@@ -445,10 +405,7 @@ def _bwd_kernel(
                 preferred_element_type=_f32, precision=_HI,
             )  # (TPX, CH) = sum_c g[c,p] * rgb[c,i]
             cgw = cg * wgt
-            if _use_mm_scan():
-                pfx_incl = _mm_scan(cgw, strict=False) + pfx_s[...]
-            else:
-                pfx_incl = _lane_scan(cgw, jnp.add, 0.0) + pfx_s[...]
+            pfx_incl = _mm_scan(cgw, strict=False) + pfx_s[...]
             a_i = tot_s[...] - pfx_incl  # suffix color dot g, incl final_t term
 
             # clamp gate folded into the select mask (one fewer full-size
@@ -643,29 +600,11 @@ def _render_core_bwd(cfg, res, cts):
     # the P sentinel id, sort last, and fall outside every run — this
     # also quarantines uninitialized gradient blocks of never-visited
     # padding space.
-    k = gid.shape[0]
-    import os
-
-    mode = os.environ.get("GS_TPU_BWD_ROUTING", "sort")
-    if mode == "sort":
-        sorted_ops = jax.lax.sort(
-            (gid,) + tuple(drec[i] for i in range(9)),
-            num_keys=1, is_stable=False,
-        )
-        dsorted = jnp.stack(sorted_ops[1:], axis=0)  # (9, K) runs by gid
-    else:
-        _, ord2 = jax.lax.sort(
-            (gid, jnp.arange(k, dtype=jnp.int32)), num_keys=1, is_stable=False
-        )
-        if mode == "relayout":
-            # sandwich the row gather between two streaming Pallas
-            # transposes to pin {1,0} layouts (A/B: measured SLOWER than
-            # the payload sort at every operating point tried)
-            drec_rows = relayout_to_rows(drec)  # (K, 16), rows contiguous
-            dsorted = relayout_to_cols(drec_rows[ord2])[:9]
-        else:
-            # direct XLA gather, kept for A/B via GS_TPU_BWD_ROUTING=direct
-            dsorted = drec.T[ord2].T[:9]  # (9, K), gaussian-contiguous runs
+    sorted_ops = jax.lax.sort(
+        (gid,) + tuple(drec[i] for i in range(9)),
+        num_keys=1, is_stable=False,
+    )
+    dsorted = jnp.stack(sorted_ops[1:], axis=0)  # (9, K) runs by gid
     # run boundaries: entries of gaussian g occupy [ends[g]-cnt[g], ends[g])
     ends = binning._cumsum_1d(gcounts)
     starts = ends - gcounts
@@ -686,25 +625,19 @@ def _render_core_bwd(cfg, res, cts):
         n_real.astype(jnp.float32), 1.0
     )  # (9, 1)
     csum = binning._cumsum_rows(jnp.where(real, dsorted - m, 0.0))
-    if os.environ.get("GS_TPU_BOUNDARY_GATHER", "relayout") == "relayout":
-        # Run sums need csum at the P run boundaries. Gathering from
-        # `csum.T` directly lets XLA fold the transpose into a {0,1}
-        # output layout, turning each boundary row into 9 strided 4-byte
-        # reads (~6 ms per gather at P=262k). Pinning the transpose in a
-        # Pallas relayout makes both gathers contiguous 36-byte row reads.
-        # incl[-1] := 0 is realized by clamping the index and masking.
-        csum_rows = relayout_to_rows(csum)  # (K, 9), rows contiguous
-        top = csum_rows[jnp.maximum(ends - 1, 0)]
-        bot = csum_rows[jnp.maximum(starts - 1, 0)]
-        run = (
-            jnp.where((ends > 0)[:, None], top, 0.0)
-            - jnp.where((starts > 0)[:, None], bot, 0.0)
-        )
-    else:
-        csum_rows = jnp.concatenate(
-            [jnp.zeros((1, 9), jnp.float32), csum.T], axis=0
-        )  # (K+1, 9)
-        run = csum_rows[ends] - csum_rows[starts]
+    # Run sums need csum at the P run boundaries. Gathering from `csum.T`
+    # directly lets XLA fold the transpose into a {0,1} output layout,
+    # turning each boundary row into 9 strided 4-byte reads (~6 ms per
+    # gather at P=262k). Pinning the transpose in a Pallas relayout makes
+    # both gathers contiguous 36-byte row reads. incl[-1] := 0 is
+    # realized by clamping the index and masking.
+    csum_rows = relayout_to_rows(csum)  # (K, 9), rows contiguous
+    top = csum_rows[jnp.maximum(ends - 1, 0)]
+    bot = csum_rows[jnp.maximum(starts - 1, 0)]
+    run = (
+        jnp.where((ends > 0)[:, None], top, 0.0)
+        - jnp.where((starts > 0)[:, None], bot, 0.0)
+    )
     dcols = run + gcounts.astype(jnp.float32)[:, None] * m[:, 0][None, :]
     dmeans2d = dcols[:, 0:2]
     # records carry pre-folded c2 = (-0.5*ca, -cb, -0.5*cc); map the

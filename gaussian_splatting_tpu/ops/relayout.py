@@ -9,11 +9,13 @@ results take default {1,0} layouts). Sandwiching the gather between
 these two kernels therefore forces the fast contiguous-row form on both
 its input and output sides, at the cost of two HBM-bandwidth streams.
 
-Used by the backward gradient routing and (flag-gated,
-GS_TPU_FWD_GATHER=relayout) the forward record gather in
-binning.emit_sorted_records. See cuda_rasterizer/rasterizer_impl.cu:
-345-374 for the reference's mirror-image trade-off (GPU gathers per
-entry inside the kernel; TPU pre-streams sorted records).
+Used by the backward gradient routing's boundary gathers. (A forward
+record-gather variant and an inverse relayout_to_cols existed as A/B
+arms; both measured slower than the direct forms at every operating
+point and were deleted in round 3.) See cuda_rasterizer/
+rasterizer_impl.cu:345-374 for the reference's mirror-image trade-off
+(GPU gathers per entry inside the kernel; TPU pre-streams sorted
+records).
 """
 
 from __future__ import annotations
@@ -66,20 +68,3 @@ def relayout_to_rows(x: jnp.ndarray) -> jnp.ndarray:
     )(x)
 
 
-def relayout_to_cols(x: jnp.ndarray) -> jnp.ndarray:
-    """Inverse of relayout_to_rows: (K, R) -> (R, K)."""
-    k, r = x.shape
-    blk = _blk(k)
-    assert k % blk == 0, (k, r)
-    return pl.pallas_call(
-        _to_rows_kernel,
-        grid=(k // blk,),
-        in_specs=[
-            pl.BlockSpec((blk, r), lambda b: (b, 0),
-                         memory_space=pltpu.VMEM)
-        ],
-        out_specs=pl.BlockSpec((r, blk), lambda b: (0, b),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((r, k), x.dtype),
-        interpret=_interpret(),
-    )(x)

@@ -158,12 +158,11 @@ def test_cull_image_and_grads_identical(backend):
 
 
 @pytest.mark.parametrize("backend", ["xla", "pallas"])
-def test_cull_bits32_and_boundary_gather_modes(backend, monkeypatch):
-    """GS_TPU_CULL_BITS=32 (lo-only bitmaps, sentinel-derived hi) and
-    GS_TPU_BOUNDARY_GATHER=concat must both reproduce the default path's
-    image and gradients (the 32-bit cull keeps strictly more tiles, all
-    of which are no-ops for the compositor; the boundary-gather modes are
-    the same sums via different gather layouts)."""
+def test_cull_bits32_matches_default(backend, monkeypatch):
+    """GS_TPU_CULL_BITS=32 (lo-only bitmaps, sentinel-derived hi) must
+    reproduce the default 64-bit path's image and gradients (the 32-bit
+    cull keeps strictly more tiles, all of which are no-ops for the
+    compositor)."""
     g = _scene(400, seed=5)
     means, scales, quats, opacities, shs = g
     cam = make_camera(W, H)
@@ -183,7 +182,6 @@ def test_cull_bits32_and_boundary_gather_modes(backend, monkeypatch):
 
     img_ref, g_ref = render()
     monkeypatch.setenv("GS_TPU_CULL_BITS", "32")
-    monkeypatch.setenv("GS_TPU_BOUNDARY_GATHER", "concat")
     img_alt, g_alt = render()
     np.testing.assert_allclose(np.asarray(img_alt), np.asarray(img_ref),
                                atol=1e-6, rtol=0)
@@ -191,36 +189,6 @@ def test_cull_bits32_and_boundary_gather_modes(backend, monkeypatch):
         a, b = np.asarray(a), np.asarray(b)
         scale = max(np.abs(b).max(), 1e-8)
         np.testing.assert_allclose(a, b, atol=1e-3 * scale, rtol=1e-3)
-
-
-def test_fwd_gather_relayout_matches_direct(monkeypatch):
-    """GS_TPU_FWD_GATHER=relayout pins the forward record gather's output
-    layout with a streaming Pallas transpose; the gathered VALUES are
-    unchanged, so image and gradients must be bit-identical to the direct
-    `prow[ids].T` form."""
-    g = _scene(400, seed=11)
-    means, scales, quats, opacities, shs = g
-    cam = make_camera(W, H)
-    bg = jnp.asarray([0.1, 0.2, 0.3], jnp.float32)
-    cfg = RasterizerConfig(backend="pallas", capacity_mult=32, tile_cull=True)
-
-    def render():
-        def f(m, o):
-            img, _ = rasterize(
-                m, scales, quats, o, shs, 2, cam.arrays(), W, H, bg, cfg,
-            )
-            return jnp.sum(img * img), img
-
-        (_, img), grads = jax.value_and_grad(f, argnums=(0, 1),
-                                             has_aux=True)(means, opacities)
-        return img, grads
-
-    img_ref, g_ref = render()
-    monkeypatch.setenv("GS_TPU_FWD_GATHER", "relayout")
-    img_alt, g_alt = render()
-    np.testing.assert_array_equal(np.asarray(img_alt), np.asarray(img_ref))
-    for a, b in zip(g_alt, g_ref):
-        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
 def test_cull_reduces_entries():
@@ -237,14 +205,10 @@ def test_cull_reduces_entries():
     )
 
 
-@pytest.mark.parametrize("flags", [
-    {"GS_TPU_CARRY": "mxsum"},
-    {"GS_TPU_CARRY": "mxsum", "GS_TPU_LANE_SCAN": "roll"},  # falls back to min
-])
-def test_carry_mode_mxsum_matches_min(flags, monkeypatch):
-    """GS_TPU_CARRY=mxsum (MXU masked log-sum carry) must reproduce the
-    min-reduce carry path: same image to reduction rounding, same
-    early-exit replay (deep opaque stack forces saturation)."""
+def test_saturated_stack_matches_xla_oracle():
+    """The MXU log-sum carry (now the only carry form) must agree with
+    the independent XLA-composite backend on a deeply saturating opaque
+    stack: same image to reduction rounding, same early-exit replay."""
     means, scales, quats, opacities, shs = make_gaussians(
         P=500, seed=9, scale_mu=-1.5
     )
@@ -253,17 +217,16 @@ def test_carry_mode_mxsum_matches_min(flags, monkeypatch):
     cam = make_camera(W, H)
     bg = jnp.asarray([0.0, 0.5, 1.0], jnp.float32)
     cfg = RasterizerConfig(backend="pallas", capacity_mult=48)
+    cfg_xla = RasterizerConfig(backend="xla", capacity_mult=48)
 
-    def render():
+    def render(c):
         img, aux = rasterize(
-            *g, 2, cam.arrays(), W, H, bg, cfg,
+            *g, 2, cam.arrays(), W, H, bg, c,
         )
         return np.asarray(img), np.asarray(aux["final_t"])
 
-    img_min, ft_min = render()
-    for k, v in flags.items():
-        monkeypatch.setenv(k, v)
-    img_mx, ft_mx = render()
+    img_min, ft_min = render(cfg_xla)
+    img_mx, ft_mx = render(cfg)
     np.testing.assert_allclose(img_mx, img_min, atol=2e-5, rtol=0)
     np.testing.assert_allclose(ft_mx, ft_min, atol=2e-5, rtol=0)
 

@@ -391,12 +391,6 @@ def stage_emitparts():
 
     chain_time(f_rowgather, "relayout + (K,16) row gather")
 
-    def f_sandwich(c):
-        rows = cp.relayout_to_rows(drec + c * 0)
-        return jnp.sum(cp.relayout_to_cols(rows[ord2])[:9])
-
-    chain_time(f_sandwich, "relayout sandwich gather (bwd)")
-
     def f_csrows(c):
         return jnp.sum(binning._cumsum_rows((drec + c * 0)[:9]))
 
@@ -487,12 +481,6 @@ def stage_gforms():
 
     chain_time(f_bigtab, "gather rows from (K,16) table (bwd)")
 
-    def f_sandwich2(c):
-        g = bigtab[ord2 + (c * 0).astype(jnp.int32)]
-        return jnp.sum(rl.relayout_to_cols(g)[:9])
-
-    chain_time(f_sandwich2, "bwd gather -> relayout_to_cols (wide)")
-
     def f_bigtab_pallas(c):
         g = bigtab[ord2 + (c * 0).astype(jnp.int32)]
         return jnp.sum(_consume_t(g))
@@ -529,10 +517,9 @@ def stage_grad():
 
 
 def stage_routing():
-    """The backward's gradient-routing chain on real shapes: (gid, iota)
-    sort + drec gather (relayout vs direct) + row cumsum + boundary
-    gathers (relayout vs concat). A/B via GS_TPU_BWD_ROUTING /
-    GS_TPU_BOUNDARY_GATHER."""
+    """The backward's gradient-routing chain on real shapes, in its
+    shipping form: 10-operand payload sort (regroup by gaussian) + row
+    cumsum + relayout-pinned boundary gathers."""
     from gaussian_splatting_tpu.ops import composite_pallas as cp
 
     K = CAP
@@ -543,27 +530,19 @@ def stage_routing():
 
     def f(c):
         d = drec + c * 0
-        _, ord2 = jax.lax.sort(
-            (gid, jnp.arange(K, dtype=jnp.int32)), num_keys=1, is_stable=False
+        sorted_ops = jax.lax.sort(
+            (gid,) + tuple(d[i] for i in range(9)),
+            num_keys=1, is_stable=False,
         )
-        if os.environ.get("GS_TPU_BWD_ROUTING", "relayout") == "relayout":
-            dsorted = cp.relayout_to_cols(cp.relayout_to_rows(d)[ord2])[:9]
-        else:
-            dsorted = d.T[ord2].T[:9]
+        dsorted = jnp.stack(sorted_ops[1:], axis=0)  # (9, K)
         ends = binning._cumsum_1d(gcounts)
         starts = ends - gcounts
         csum = binning._cumsum_rows(dsorted)
-        if os.environ.get("GS_TPU_BOUNDARY_GATHER", "relayout") == "relayout":
-            rows = cp.relayout_to_rows(csum)
-            run = (
-                jnp.where((ends > 0)[:, None], rows[jnp.maximum(ends - 1, 0)], 0.0)
-                - jnp.where((starts > 0)[:, None], rows[jnp.maximum(starts - 1, 0)], 0.0)
-            )
-        else:
-            rows = jnp.concatenate(
-                [jnp.zeros((1, 9), jnp.float32), csum.T], axis=0
-            )
-            run = rows[ends] - rows[starts]
+        rows = cp.relayout_to_rows(csum)
+        run = (
+            jnp.where((ends > 0)[:, None], rows[jnp.maximum(ends - 1, 0)], 0.0)
+            - jnp.where((starts > 0)[:, None], rows[jnp.maximum(starts - 1, 0)], 0.0)
+        )
         return jnp.sum(run)
 
     chain_time(f, "bwd routing chain")

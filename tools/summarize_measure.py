@@ -58,16 +58,13 @@ def main():
     table(rows, "render_fps", "render cull=1 16x16")
     table(rows, "train_its", "train cull mm relayout")
     print("\nFlag axes to decide (flip the winner into the default):")
+    # Only the surviving axes (round 3 deleted the losing A/B arms; see
+    # docs/PERFORMANCE.md for the measured outcomes baked into defaults).
     for axis, a, b in [
         ("tile_cull", "render cull=1 16x16", "render cull=0 16x16"),
-        ("GS_TPU_CARRY", "render cull=1 16x16", "render mxsum carry"),
         ("GS_TPU_POWER", "render cull=1 16x16", "render horner power"),
         ("GS_TPU_EXPAND", "render cull=1 16x16", "render fused expand"),
-        ("GS_TPU_LANE_SCAN", "render cull=1 16x16", "render roll-scan"),
-        ("GS_TPU_FWD_GATHER", "render cull=1 16x16", "render fwd-gather relayout"),
         ("GS_TPU_CULL_BITS", "render cull=1 16x16", "render cull=1 bits32"),
-        ("GS_TPU_BWD_ROUTING", "train cull mm relayout", "train cull mm direct"),
-        ("GS_TPU_BOUNDARY_GATHER", "train cull mm relayout", "train boundary concat"),
     ]:
         va = next((d["value"] for l, d in rows if l == a), None)
         vb = next((d["value"] for l, d in rows if l == b), None)
