@@ -28,13 +28,16 @@ from jax.experimental.pallas import tpu as pltpu
 # Per-call block width. Grid-step overhead (~1 us) dominated the original
 # 256-wide blocks (K/256 ~ 8k steps = ~7.5 ms measured at K=2.1M); wide
 # blocks amortize it while staying far under VMEM (16 cols x 16384 x 4 B
-# = 1 MB per operand). Capacity is always a BLOCK(=256) multiple, so the
-# effective block is gcd-compatible: fall back to 256 when K is small.
+# = 1 MB per operand). Real capacities are 256-multiples but almost never
+# 16384-multiples (render_tiles_pallas pads to a 256 multiple PLUS one
+# block), so instead of falling back to the slow 256-wide grid we PAD the
+# lane axis up to the wide block: <= 16383 extra lanes = 0.6 MB of
+# zero-fill streamed once, vs ~7 ms of grid-step overhead saved.
 _RELAYOUT_BLK = 16384
 
 
 def _blk(k: int) -> int:
-    return _RELAYOUT_BLK if k % _RELAYOUT_BLK == 0 else 256
+    return _RELAYOUT_BLK if k >= _RELAYOUT_BLK else 256
 
 
 def _interpret() -> bool:
@@ -53,18 +56,24 @@ def relayout_to_rows(x: jnp.ndarray) -> jnp.ndarray:
     output reads contiguous 4*R-byte rows instead of R strided columns."""
     r, k = x.shape
     blk = _blk(k)
-    assert k % blk == 0, (r, k)
-    return pl.pallas_call(
+    kp = -(-k // blk) * blk
+    if kp != k:
+        x = jnp.pad(x, ((0, 0), (0, kp - k)))
+    assert kp % blk == 0, (r, k, kp)
+    out = pl.pallas_call(
         _to_rows_kernel,
-        grid=(k // blk,),
+        grid=(kp // blk,),
         in_specs=[
             pl.BlockSpec((r, blk), lambda b: (0, b),
                          memory_space=pltpu.VMEM)
         ],
         out_specs=pl.BlockSpec((blk, r), lambda b: (b, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((k, r), x.dtype),
+        out_shape=jax.ShapeDtypeStruct((kp, r), x.dtype),
         interpret=_interpret(),
     )(x)
+    # Callers gather rows by index < k, so the zero tail is never read;
+    # returning the padded array avoids a k-sized slice copy.
+    return out
 
 
