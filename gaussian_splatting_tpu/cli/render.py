@@ -59,6 +59,40 @@ def load_model_padded(scene: Scene, min_capacity: int = 1024):
     return params, jnp.asarray(alive)
 
 
+def auto_capacity(params, alive, views, raster_cfg, sh_degree, bits=17):
+    """Entry-driven tile-list capacity: probe the true entry count of each
+    view with a preprocess-only jit, bucket the max (ops/rasterize.py::
+    entry_bucket_capacity) — so every K-sized stage runs near the true
+    entry count instead of a P-multiple (bench-measured +7% render)."""
+    from functools import partial
+
+    import jax
+    import jax.numpy as jnp
+
+    from gaussian_splatting_tpu.ops.projection import preprocess
+    from gaussian_splatting_tpu.ops.rasterize import entry_bucket_capacity
+    from gaussian_splatting_tpu.scene.gaussians import activate
+
+    @partial(jax.jit, static_argnames=("w", "h", "tw", "th", "tc", "sh"))
+    def count(params, alive, cam, w, h, tw, th, tc, sh):
+        acts = activate(params)
+        prep = preprocess(
+            acts.xyz, acts.scales, acts.quats, acts.opacities, acts.shs,
+            sh, cam, w, h, tw, th, alive=alive, tile_cull=tc,
+        )
+        return jnp.sum(prep.tiles_touched)
+
+    worst = 0
+    for view in views:
+        cam = jax.tree.map(jnp.asarray, view.arrays())
+        worst = max(worst, int(count(
+            params, alive, cam, view.width, view.height,
+            raster_cfg.tile_w, raster_cfg.tile_h, raster_cfg.tile_cull,
+            sh_degree,
+        )))
+    return entry_bucket_capacity(worst, bits)
+
+
 def render_set(model_path, name, iteration, views, params, alive, bg, sh_degree, raster_cfg):
     import jax
     import jax.numpy as jnp
@@ -105,6 +139,15 @@ def render_sets(dataset, iteration, pipe, skip_train=False, skip_test=False):
         capacity_mult=pipe.capacity_mult, backend=resolve_backend(pipe.backend),
         tile_cull=pipe.tile_cull,
     )
+    views = (
+        ([] if skip_train else scene.get_train_cameras())
+        + ([] if skip_test else scene.get_test_cameras())
+    )
+    if views:
+        from dataclasses import replace as _dc_replace
+
+        cap = auto_capacity(params, alive, views, raster_cfg, dataset.sh_degree)
+        raster_cfg = _dc_replace(raster_cfg, capacity_exact=cap)
     if not skip_train:
         render_set(
             dataset.model_path, "train", scene.loaded_iter,

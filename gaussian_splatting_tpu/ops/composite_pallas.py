@@ -116,12 +116,6 @@ def _use_horner_power() -> bool:
 #   test >= T_EPS) — skipped lanes contribute log(1) = 0.
 
 
-def _shift_one(x: jnp.ndarray, fill) -> jnp.ndarray:
-    """Shift lanes right by one, filling lane 0 (inclusive -> exclusive)."""
-    lane = jax.lax.broadcasted_iota(_i32, x.shape, 1)
-    return jnp.where(lane >= 1, pltpu.roll(x, 1, 1), fill)
-
-
 # Streaming layout-pinning transpose (used by the boundary gathers in
 # the backward routing; re-exported for the profiler's stages).
 from gaussian_splatting_tpu.ops.relayout import relayout_to_rows  # noqa: E402

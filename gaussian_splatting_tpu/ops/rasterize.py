@@ -34,19 +34,23 @@ from gaussian_splatting_tpu.scene.cameras import CameraArrays
 class RasterizerConfig:
     """Static rasterizer configuration (hashable: safe as a jit static arg).
 
-    tile_w/tile_h: screen tile size. 16x16 matches the reference
-      (config.h:15-17) bit-for-bit in binning behavior.
+    tile_w/tile_h: screen tile size. The defaults are the measured TPU
+      winners (32x16: +1.3 fps over 16x16 at the 1080p/262k flagship
+      point, MEASURE_r3c/d.log); the reference's 16x16 (config.h:15-17)
+      remains available and bit-identical in binning behavior.
     capacity_mult: tile-list capacity as a multiple of P (the padded
       Gaussian count). The true entry count is returned in aux["num_entries"]
       so training can grow the bucket on overflow.
     chunk: entries composited per scan step (XLA backend).
+    backend: "auto" resolves at trace time to the Pallas fast path on TPU
+      and the XLA composite path elsewhere; both produce the same image.
     """
 
-    tile_w: int = 16
+    tile_w: int = 32
     tile_h: int = 16
     capacity_mult: int = 8
     chunk: int = 256
-    backend: str = "xla"
+    backend: str = "auto"
     capacity_exact: Optional[int] = None  # overrides capacity_mult when set
     # Exact per-tile ellipse cull (projection.tile_cull_bitmaps): drops
     # tile entries no pixel of which can pass the alpha >= 1/255 blend
@@ -61,6 +65,20 @@ class RasterizerConfig:
             else self.capacity_mult * num_points
         )
         return max(256, ((cap + 255) // 256) * 256)
+
+
+def entry_bucket_capacity(n_entries: int, bits: int = 17, headroom: float = 1.2) -> int:
+    """Bucketed tile-list capacity for a measured entry count: multiples of
+    2^bits at scene scale (compiled-binary quality is chaotically
+    shape-sensitive at fine granularity; 2^17 measured fastest at the 1080p
+    flagship point, MEASURE_r3e.log), power-of-two buckets below that so
+    tiny scenes don't pay a 131k-entry floor. The host-side analog of the
+    reference's dynamic arena resize (rasterize_points.cu:28-36)."""
+    want = max(256, int(n_entries * headroom))
+    bucket = 1 << bits
+    if want >= bucket:
+        return -(-want // bucket) * bucket
+    return 1 << (want - 1).bit_length()
 
 
 def _pallas_grid_ok(grid_x: int, grid_y: int) -> bool:
@@ -127,6 +145,13 @@ def rasterize(
     """
     P = means3d.shape[0]
     opacities = opacities.reshape(P)
+    if config.backend == "auto":
+        # Trace-time resolution (config is a static arg): the Pallas fast
+        # path on TPU, the XLA composite path elsewhere. Same outputs.
+        from dataclasses import replace as _dc_replace
+
+        backend = "pallas" if jax.default_backend() == "tpu" else "xla"
+        config = _dc_replace(config, backend=backend)
 
     prep = preprocess(
         means3d,

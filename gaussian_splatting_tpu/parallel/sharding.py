@@ -127,6 +127,13 @@ def make_sharded_train_step(
     `state` must be placed by shard_train_state and its capacity must be
     divisible by the mesh size.
     """
+    if raster_cfg.backend == "auto":
+        from dataclasses import replace as _dc_replace
+
+        raster_cfg = _dc_replace(
+            raster_cfg,
+            backend="pallas" if jax.default_backend() == "tpu" else "xla",
+        )
     n = mesh.devices.size
     tw, th = raster_cfg.tile_w, raster_cfg.tile_h
     grid_x = (width + tw - 1) // tw

@@ -14,6 +14,7 @@ import math
 import pickle
 import time
 from dataclasses import dataclass, field
+from functools import partial
 from typing import Callable, List, Optional
 
 import jax
@@ -92,6 +93,20 @@ class Trainer:
     spatial_lr_scale: float = 1.0
     min_capacity: int = 1024
     seed: int = 0
+    # Entry-driven tile-list capacity (the analog of the reference's
+    # dynamic arena, rasterize_points.cu:28-36): size the entry budget
+    # from the MEASURED per-frame entry count instead of a multiple of P,
+    # so training never pays 2x sort/gather/expand/kernel-grid padding
+    # after a P-bucket doubling. The first step probes the count with a
+    # cheap preprocess-only jit; thereafter the budget grows immediately
+    # on overflow and is re-fit (grow or shrink) on the densify cadence
+    # from the window max. Buckets are 2^entry_bucket_bits above that
+    # size and power-of-two below it (compiled-binary quality is
+    # chaotically shape-sensitive at fine granularity; 2^17 measured
+    # fastest at the 1080p flagship point, MEASURE_r3e.log). Set False to
+    # restore the fixed capacity_mult * P policy.
+    auto_capacity: bool = True
+    entry_bucket_bits: int = 17
     # Jitted in-place densification at fixed capacity (host fallback only
     # on capacity-bucket growth). Disable to force the numpy path.
     device_densify: bool = True
@@ -122,6 +137,8 @@ class Trainer:
         self.background = jnp.asarray(bg, jnp.float32)
         self.history: List[dict] = []
         self._sharded_steps = {}
+        # max entry count observed since the last capacity re-fit
+        self._entry_window_max = 0
 
     def _place(self, state: TrainState) -> TrainState:
         """Put a (re)built state on the mesh, if any."""
@@ -146,6 +163,41 @@ class Trainer:
     @property
     def num_live(self) -> int:
         return int(np.asarray(self.state.alive).sum())
+
+    # ---- entry-driven capacity (see auto_capacity above) ----
+    def _entry_capacity(self, n_entries: int) -> int:
+        from gaussian_splatting_tpu.ops.rasterize import entry_bucket_capacity
+
+        return entry_bucket_capacity(n_entries, self.entry_bucket_bits)
+
+    def _set_capacity(self, cap: int):
+        from dataclasses import replace as _dc_replace
+
+        if self.raster_cfg.capacity_exact != cap:
+            self.raster_cfg = _dc_replace(self.raster_cfg, capacity_exact=cap)
+
+    def _probe_entries(self, cam_arrays, width: int, height: int) -> int:
+        """True tile-list entry count for this view: a preprocess-only jit
+        (no binning/compositing), the same probe bench.py uses. Costs one
+        small compile per (P-capacity, resolution) pair."""
+        from gaussian_splatting_tpu.ops.projection import preprocess
+        from gaussian_splatting_tpu.scene.gaussians import activate
+
+        cfg = self.raster_cfg
+
+        @partial(jax.jit, static_argnames=("w", "h", "tw", "th", "tc", "sh"))
+        def count(params, alive, cam, w, h, tw, th, tc, sh):
+            acts = activate(params)
+            prep = preprocess(
+                acts.xyz, acts.scales, acts.quats, acts.opacities, acts.shs,
+                sh, cam, w, h, tw, th, alive=alive, tile_cull=tc,
+            )
+            return jnp.sum(prep.tiles_touched)
+
+        return int(count(
+            self.state.params, self.state.alive, cam_arrays, width, height,
+            cfg.tile_w, cfg.tile_h, cfg.tile_cull, self.active_sh_degree,
+        ))
 
     # ---- the loop ----
     def train(self, iterations: Optional[int] = None, progress: bool = False):
@@ -184,6 +236,9 @@ class Trainer:
 
         in_densify_window = it < self.opt.densify_until_iter
         cam_arrays = jax.tree.map(jnp.asarray, camera.arrays())
+        if self.auto_capacity and self.raster_cfg.capacity_exact is None:
+            n0 = self._probe_entries(cam_arrays, camera.width, camera.height)
+            self._set_capacity(self._entry_capacity(n0))
         try:
             if self.mesh is None:
                 self.state, metrics = train_step(
@@ -230,16 +285,13 @@ class Trainer:
 
         # Capacity overflow check: grow the entry budget if the tile list
         # clipped (reference reallocates its arena, rasterize_points.cu:28-36).
+        self._entry_window_max = max(self._entry_window_max, int(m["num_entries"]))
         cap = self.raster_cfg.capacity(self.state.params.xyz.shape[0])
         if m["num_entries"] > cap:
             from dataclasses import replace as _dc_replace
 
-            if self.raster_cfg.capacity_exact is not None:
-                # caller sized the budget explicitly: grow the exact value
-                # (coarse 2^18 buckets keep compiled-binary shapes stable)
-                bucket = 1 << 18
-                exact = -(-int(m["num_entries"] * 1.2) // bucket) * bucket
-                self.raster_cfg = _dc_replace(self.raster_cfg, capacity_exact=exact)
+            if self.auto_capacity or self.raster_cfg.capacity_exact is not None:
+                self._set_capacity(self._entry_capacity(int(m["num_entries"])))
             else:
                 mult = self.raster_cfg.capacity_mult
                 while mult * self.state.params.xyz.shape[0] < m["num_entries"]:
@@ -271,7 +323,17 @@ class Trainer:
                 and it % self.opt.densification_interval == 0
             ):
                 size_threshold = 20 if it > self.opt.opacity_reset_interval else None
+                live_before = max(self.num_live, 1)
                 self._densify_and_prune(size_threshold)
+                if self.auto_capacity:
+                    # Re-fit the entry budget on the densify cadence: scale
+                    # the window max by the live-count growth (clone/split
+                    # add entries roughly in proportion) so most densify
+                    # steps avoid a clipped overflow frame; shrink when
+                    # pruning dropped the count a bucket or more.
+                    target = self._entry_window_max * self.num_live / live_before
+                    self._set_capacity(self._entry_capacity(int(target)))
+                    self._entry_window_max = 0
             if it % self.opt.opacity_reset_interval == 0 or (
                 self.white_background and it == self.opt.densify_from_iter
             ):

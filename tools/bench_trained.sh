@@ -31,7 +31,8 @@ fi
 echo "=== training $ITERS iters (reference defaults, densify on) ==="
 timeout 7200 python train.py -s "$SCENE" -m "$MODEL" \
   --iterations "$ITERS" --disable_viewer \
-  --test_iterations -1 --save_iterations "$ITERS" 2>&1 | tail -4
+  --test_iterations -1 --save_iterations "$ITERS" >"$OUT/train.log" 2>&1
+tail -6 "$OUT/train.log"
 
 PLY="$MODEL/point_cloud/iteration_$ITERS/point_cloud.ply"
 if [ ! -f "$PLY" ]; then echo "TRAIN FAILED: no $PLY"; exit 1; fi
@@ -42,11 +43,19 @@ print("trained gaussians:", read_ply_vertex_table(sys.argv[1])["x"].shape[0])
 EOF
 
 echo "=== 1080p render fps on the trained model ==="
-for tiles in "16 16" "16 8" "16 32"; do
-  set -- $tiles
-  echo "--- tiles ${1}x${2} ---"
+# Sweep the measured-winner tile geometries, with and without the exact
+# tile cull — converged anisotropic splats are the scene class where the
+# cull could finally win (round-3 measured it losing on synthetic scenes).
+for row in "32 16 0" "32 32 0" "16 16 0" "32 16 1" "32 32 1"; do
+  set -- $row
+  echo "--- tiles ${1}x${2} cull=${3} ---"
   timeout 1800 env GS_BENCH_RETRIES=1 GS_BENCH_TIMEOUT=1500 \
     GS_BENCH_SCENE=ply GS_BENCH_PLY="$PLY" \
-    GS_BENCH_TILE_W="$1" GS_BENCH_TILE_H="$2" \
+    GS_BENCH_TILE_W="$1" GS_BENCH_TILE_H="$2" GS_BENCH_TILE_CULL="$3" \
     python bench.py 2>&1 | tail -1
 done
+
+echo "=== trained-model train-step it/s (1080p) ==="
+timeout 1800 env GS_BENCH_RETRIES=1 GS_BENCH_TIMEOUT=1500 \
+  GS_BENCH_SCENE=ply GS_BENCH_PLY="$PLY" GS_BENCH_MODE=train \
+  python bench.py 2>&1 | tail -1
