@@ -26,14 +26,17 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 # Per-call block width. Grid-step overhead (~1 us) dominated the original
-# 256-wide blocks (K/256 ~ 8k steps = ~7.5 ms measured at K=2.1M); wide
-# blocks amortize it while staying far under VMEM (16 cols x 16384 x 4 B
-# = 1 MB per operand). Real capacities are 256-multiples but almost never
-# 16384-multiples (render_tiles_pallas pads to a 256 multiple PLUS one
-# block), so instead of falling back to the slow 256-wide grid we PAD the
-# lane axis up to the wide block: <= 16383 extra lanes = 0.6 MB of
-# zero-fill streamed once, vs ~7 ms of grid-step overhead saved.
-_RELAYOUT_BLK = 16384
+# 256-wide blocks (K/256 ~ 8k steps = ~7.5 ms measured at K=2.1M); wider
+# blocks amortize it. The ceiling is the OUTPUT block's VMEM footprint:
+# an (blk, R) block lane-pads R up to 128, so blk=16384 costs 8 MiB per
+# buffer and OOMed the 16 MiB scoped-vmem limit once the lane-axis
+# padding made it actually engage (train crash, round 4). blk=2048 keeps
+# the grid at ~K/2048 steps (~1 ms overhead at K=2.1M) with a 1 MiB
+# output block — 2.3 MiB total double-buffered. Real capacities are
+# 256-multiples but rarely blk-multiples, so the lane axis is PADDED up
+# to the block: <= 2047 zero lanes streamed once vs ~7 ms of grid-step
+# overhead saved.
+_RELAYOUT_BLK = 2048
 
 
 def _blk(k: int) -> int:

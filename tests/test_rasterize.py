@@ -387,3 +387,19 @@ def test_sortpay_records_bit_identical(scene, monkeypatch):
     ra = np.asarray(a.rec)[:9, :total]
     rb = np.asarray(b.rec)[:9, :total]
     np.testing.assert_array_equal(ra, rb)
+
+
+def test_relayout_to_rows_pads_and_transposes():
+    """relayout_to_rows pads the lane axis to the block and returns the
+    padded (K', R) transpose; rows < K are exact, the tail is zero."""
+    from gaussian_splatting_tpu.ops.relayout import _blk, relayout_to_rows
+
+    rng = np.random.default_rng(0)
+    for k in (300, 2048, 2500, 4096 + 256):
+        x = jnp.asarray(rng.normal(size=(9, k)), jnp.float32)
+        out = np.asarray(relayout_to_rows(x))
+        blk = _blk(k)
+        kp = -(-k // blk) * blk
+        assert out.shape == (kp, 9)
+        np.testing.assert_array_equal(out[:k], np.asarray(x).T)
+        assert (out[k:] == 0).all()
