@@ -7,24 +7,26 @@
 # scenes where opacity saturation drives the compositor's early exit —
 # the synthetic cloud is that claim's worst case, not its analog.
 #
-# Usage: bash tools/bench_trained.sh [iters] [side] [out_dir]
+# Usage: bash tools/bench_trained.sh [iters] [side] [out_dir] [kind]
+#   kind: cloud (default) | objects (textured multi-object scene)
 set -u
 cd "$(dirname "$0")/.."
 ITERS="${1:-3000}"
 SIDE="${2:-400}"
 OUT="${3:-/tmp/vdrive/trained_bench}"
+KIND="${4:-cloud}"
 SCENE="$OUT/scene"
 MODEL="$OUT/model"
 mkdir -p "$OUT"
 
 if [ ! -f "$SCENE/transforms_train.json" ]; then
-  echo "=== generating ${SIDE}x${SIDE} synthetic scene ==="
-  PYTHONPATH="$PWD:$PWD/tests:${PYTHONPATH:-}" timeout 1800 python - "$SCENE" "$SIDE" <<'EOF'
+  echo "=== generating ${SIDE}x${SIDE} synthetic scene ($KIND) ==="
+  PYTHONPATH="$PWD:$PWD/tests:${PYTHONPATH:-}" timeout 1800 python - "$SCENE" "$SIDE" "$KIND" <<'EOF'
 import sys, os
 sys.path.insert(0, os.path.join(os.getcwd(), "tests"))
 from make_synthetic_scene import make_blender_scene
 make_blender_scene(sys.argv[1], width=int(sys.argv[2]), height=int(sys.argv[2]),
-                   n_train=24, n_test=4, P=4000, seed=7)
+                   n_train=24, n_test=4, P=4000, seed=7, kind=sys.argv[3])
 EOF
 fi
 
