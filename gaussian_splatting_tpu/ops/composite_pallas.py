@@ -402,14 +402,15 @@ def _bwd_kernel(
             pfx_incl = _mm_scan(cgw, strict=False) + pfx_s[...]
             a_i = tot_s[...] - pfx_incl  # suffix color dot g, incl final_t term
 
-            # clamp gate folded into the select mask (one fewer full-size
-            # multiply; bitwise-identical dpower: x*1.0 is exact and the
-            # gated-out branch was an exact 0 either way). Skipped lanes
-            # are zeroed by am = 0 itself (dalpha is finite there: om = 1),
-            # so `live` needs only the tcmp & clamp conjuncts.
+            # clamp gate folded into the select mask. dpower = dalpha * am
+            # with dalpha = t_i*cg - a_i/om; under the live mask
+            # (tcmp & unclamped) am * t_i == wgt, so the first term's
+            # product am*t_i*cg IS the already-computed cgw — one fewer
+            # full-size multiply (rounding differs from the (dalpha)*am
+            # order by one reassociation; gradients are tolerance-tested).
+            # Skipped lanes are zeroed by am = 0 itself (cgw = 0, om = 1).
             live = jnp.logical_and(tcmp, geo["raw"] < ALPHA_MAX)
-            dalpha = t_i * cg - a_i / om
-            dpower = jnp.where(live, dalpha * st["am"], 0.0)
+            dpower = jnp.where(live, cgw - st["am"] * (a_i / om), 0.0)
 
             # All pixel-axis reductions as ONE moment matmul on the MXU:
             # dx = mxl - pxl is separable, so d{conic, mean2d} are linear

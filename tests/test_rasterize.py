@@ -127,7 +127,8 @@ def test_overflow_accounting(scene):
         means, scales, quats, opacities, shs, 3, cam.arrays(), W, H, jnp.zeros(3), cfg
     )
     prep = preprocess(
-        means, scales, quats, opacities, shs, 3, cam.arrays(), W, H, 16, 16
+        means, scales, quats, opacities, shs, 3, cam.arrays(), W, H,
+        cfg.tile_w, cfg.tile_h,
     )
     assert int(aux["num_entries"]) == int(prep.tiles_touched.sum())
 
