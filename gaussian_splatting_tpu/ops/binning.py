@@ -41,21 +41,19 @@ class TileLists(NamedTuple):
     total: jnp.ndarray  # () int32: true number of entries (may exceed K => overflow)
 
 
-def _select_tile_bit(lo: jnp.ndarray, hi: jnp.ndarray, local: jnp.ndarray):
+def _select_tile_bit(bm: jnp.ndarray, local: jnp.ndarray):
     """Map a gaussian-local surviving-tile index to its rect-local tile
-    position: the `local`-th set bit of the 64-bit cull bitmap lo|hi<<32
-    (projection.tile_cull_bitmaps). The (-1, -1) "full rect" sentinel
-    bypasses the search (bit == local), which also covers rects larger
-    than the 64-bit bitmap. Branch-free: a 2x32 half select plus a 5-step
-    popcount binary search, all int32 lane ops.
+    position: the `local`-th set bit of the 32-bit cull bitmap
+    (projection.tile_cull_bitmaps). The -1 "full rect" sentinel bypasses
+    the search (bit == local), which also covers rects larger than the
+    bitmap. Branch-free: a 5-step popcount binary search, all int32 lane
+    ops.
     """
     i32 = jnp.int32
     pc = jax.lax.population_count
-    full = (lo & hi) == -1
-    c_lo = pc(lo)
-    use_hi = local >= c_lo
-    w = jnp.where(use_hi, hi, lo)
-    r = local - jnp.where(use_hi, c_lo, 0)
+    full = bm == -1
+    w = bm
+    r = local
     pos = jnp.zeros_like(local)
     for step in (16, 8, 4, 2, 1):
         low = pc(w & ((1 << step) - 1))
@@ -63,8 +61,7 @@ def _select_tile_bit(lo: jnp.ndarray, hi: jnp.ndarray, local: jnp.ndarray):
         r = r - jnp.where(move, low, 0)
         w = jnp.where(move, jax.lax.shift_right_logical(w, step), w)
         pos = pos + jnp.where(move, i32(step), 0)
-    bit = pos + jnp.where(use_hi, 32, 0)
-    return jnp.where(full, local, bit)
+    return jnp.where(full, local, pos)
 
 
 def build_tile_lists(
@@ -75,8 +72,7 @@ def build_tile_lists(
     grid_x: int,
     grid_y: int,
     capacity: int,
-    cull_lo: jnp.ndarray | None = None,  # (P,) int32 cull bitmaps
-    cull_hi: jnp.ndarray | None = None,
+    cull_bm: jnp.ndarray | None = None,  # (P,) int32 cull bitmaps
 ) -> TileLists:
     P = depths.shape[0]
     num_tiles = grid_x * grid_y
@@ -93,13 +89,8 @@ def build_tile_lists(
 
     slot = jnp.arange(capacity, dtype=jnp.int32)
     local = slot - offsets[gauss_id]
-    if cull_lo is not None:
-        g_lo = cull_lo[gauss_id]
-        g_hi = (
-            cull_hi[gauss_id] if cull_hi is not None
-            else jnp.where(g_lo == -1, jnp.int32(-1), jnp.int32(0))
-        )
-        local = _select_tile_bit(g_lo, g_hi, local)
+    if cull_bm is not None:
+        local = _select_tile_bit(cull_bm[gauss_id], local)
     rw = jnp.maximum(rect_max[gauss_id, 0] - rect_min[gauss_id, 0], 1)
     tile_x = rect_min[gauss_id, 0] + local % rw
     tile_y = rect_min[gauss_id, 1] + local // rw
@@ -314,8 +305,7 @@ def emit_sorted_records(
     grid_x: int,
     grid_y: int,
     capacity: int,
-    cull_lo: jnp.ndarray | None = None,  # (P,) int32 cull bitmaps
-    cull_hi: jnp.ndarray | None = None,
+    cull_bm: jnp.ndarray | None = None,  # (P,) int32 cull bitmaps
 ) -> SortedRecords:
     p = depths.shape[0]
     k = capacity
@@ -402,10 +392,8 @@ def emit_sorted_records(
         else [iota_p, offs]
     )
     src_cols += [geo, depth_bits]
-    if cull_lo is not None:
-        src_cols.append(cull_lo)
-        if cull_hi is not None:
-            src_cols.append(cull_hi)
+    if cull_bm is not None:
+        src_cols.append(cull_bm)
     if sortpay:
         src_cols += [
             jax.lax.bitcast_convert_type(c, i32) for c in field_cols
@@ -428,19 +416,11 @@ def emit_sorted_records(
     slot = jnp.arange(k, dtype=i32)
     valid = slot < total_eff
     local = (slot - e_off_low) & off_mask
-    if cull_lo is not None:
+    if cull_bm is not None:
         # With exact tile culling, `local` indexes SURVIVING tiles; one
-        # or two more delta-cumsum columns carry each entry's cull bitmap
-        # and a popcount binary search maps it to its rect-local tile
-        # position. In the 32-bit mode (projection._cull_cap_bits) the hi
-        # half is derived from the lo == -1 "full rect" sentinel instead
-        # of a second expansion column.
-        e_lo = e_cols.pop(0)
-        e_hi = (
-            e_cols.pop(0) if cull_hi is not None
-            else jnp.where(e_lo == -1, jnp.int32(-1), jnp.int32(0))
-        )
-        local = _select_tile_bit(e_lo, e_hi, local)
+        # more delta-cumsum column carries each entry's cull bitmap and a
+        # popcount binary search maps it to its rect-local tile position.
+        local = _select_tile_bit(e_cols.pop(0), local)
     e_rw = jnp.maximum(e_geo & ((1 << _GEO_BITS) - 1), 1)
     e_ry = (e_geo >> _GEO_BITS) & ((1 << _GEO_BITS) - 1)
     e_rx = (e_geo >> (2 * _GEO_BITS)) & ((1 << _GEO_BITS) - 1)

@@ -547,10 +547,9 @@ def _render_core_fwd_impl(
 ):
     grid_x, grid_y, tile_w, tile_h, interp, capacity, _has_cull = cfg
     num_tiles = grid_x * grid_y
-    cull_lo, cull_hi = cull if cull is not None else (None, None)
     sr = binning.emit_sorted_records(
         means2d, conic, rgb, opacity, depths, rect_min, rect_max, tiles,
-        grid_x, grid_y, capacity, cull_lo=cull_lo, cull_hi=cull_hi,
+        grid_x, grid_y, capacity, cull_bm=cull,
     )
     v = binning.build_visits(sr.tile_start, sr.tile_stop, capacity, num_tiles)
     kcfg = (grid_x, grid_y, tile_w, tile_h, interp)
@@ -643,12 +642,8 @@ def _render_core_bwd(cfg, res, cts):
     f0 = lambda shape: np.zeros(shape, jax.dtypes.float0)
     # Blend order is piecewise constant in depth: zero gradient, like the
     # reference (depth only orders the sort; backward.cu has no d/d-depth).
-    # has_cull: 0 = no cull, 1 = lo-only (32-bit bitmaps), 2 = lo+hi
-    dcull = (
-        None if has_cull == 0
-        else (f0((p,)), None) if has_cull == 1
-        else (f0((p,)), f0((p,)))
-    )
+    # has_cull: 0 = no cull, 1 = 32-bit bitmaps
+    dcull = None if has_cull == 0 else f0((p,))
     return (
         dmeans2d, dconic, drgb, dop, jnp.zeros((p,), rec.dtype),
         f0((p, 2)), f0((p, 2)), f0((p,)), f0(oy.shape), dcull,
@@ -679,10 +674,8 @@ def render_tiles_pallas(
     # keep >= one trailing unused block so dummy visits have a safe target
     capacity = ((capacity + BLK - 1) // BLK) * BLK + BLK
 
-    cull = None
-    if prep.cull_lo is not None:
-        cull = (prep.cull_lo, prep.cull_hi)
-    has_cull = 0 if cull is None else (1 if cull[1] is None else 2)
+    cull = prep.cull_bm
+    has_cull = 0 if cull is None else 1
     cfg = (grid_x, grid_y, tile_w, tile_h, _interpret(), capacity, has_cull)
     oy = jnp.asarray(origin_y, jnp.int32).reshape(1)
     img_tiles, ft_tiles = _render_core(

@@ -38,23 +38,12 @@ class PreprocessOut(NamedTuple):
     rect_max: jnp.ndarray  # (P, 2) int32 tile rect (x, y) exclusive
     tiles_touched: jnp.ndarray  # (P,) int32
     visible: jnp.ndarray  # (P,) bool
-    # Exact per-tile cull bitmaps (None unless tile_cull=True): bit
-    # (dy * rect_w + dx) of lo|hi<<32 set iff rect tile (dx, dy) survives.
-    cull_lo: Optional[jnp.ndarray] = None  # (P,) int32
-    cull_hi: Optional[jnp.ndarray] = None  # (P,) int32
+    # Exact per-tile cull bitmap (None unless tile_cull=True): bit
+    # (dy * rect_w + dx) set iff rect tile (dx, dy) survives; -1 = keep all.
+    cull_bm: Optional[jnp.ndarray] = None  # (P,) int32
 
 
-_CULL_CAP_BITS = 64  # bitmap width: rects with more tiles keep all tiles
-
-
-def _cull_cap_bits() -> int:
-    """A/B switch (trace time): 64-bit bitmaps cull rects up to 64 tiles
-    but cost a second delta-cumsum expansion column (~3 ms at K~3M);
-    GS_TPU_CULL_BITS=32 trades culling on 33..64-tile rects (rare) for
-    dropping that column."""
-    import os
-
-    return 32 if os.environ.get("GS_TPU_CULL_BITS", "64") == "32" else 64
+_CULL_CAP_BITS = 32  # bitmap width: rects with more tiles keep all tiles
 
 
 def tile_cull_bitmaps(
@@ -64,7 +53,6 @@ def tile_cull_bitmaps(
     rect_min_x, rect_min_y, rect_w, rect_h,  # (P,) int32 tile rects
     tile_w: int,
     tile_h: int,
-    cap_bits: int = _CULL_CAP_BITS,
 ):
     """Conservative-exact per-tile ellipse cull bitmaps: never drops a
     tile that could blend a pixel (lossless in the image); may keep a few
@@ -81,14 +69,15 @@ def tile_cull_bitmaps(
     interior iff the center is inside, else the min lies on one of the 4
     edges, each a clamped 1-D minimization).
 
-    Returns (bm_lo, bm_hi, counts): two (P,) int32 bitmap halves over the
-    rect's row-major tile enumeration and the surviving-tile counts.
-    Rects with more than `cap_bits` tiles (or wider/taller than 8) keep
-    all tiles (counts = rect area, bitmaps = -1 sentinel meaning "full
-    rect"). With cap_bits=32, bm_hi is None (the downstream consumers
-    derive the sentinel from bm_lo == -1, which cannot collide with a
-    legitimate sub-32-tile bitmap: its bits past area-1 are zero, and at
-    area == 32 the all-ones bitmap maps identically to the sentinel).
+    Returns (bm, counts): one (P,) int32 bitmap over the rect's row-major
+    tile enumeration and the surviving-tile counts. Rects with more than
+    32 tiles (or wider/taller than 8) keep all tiles (counts = rect area,
+    bitmap = -1 sentinel meaning "full rect"; the sentinel cannot collide
+    with a legitimate sub-32-tile bitmap — its bits past area-1 are zero,
+    and at area == 32 the all-ones bitmap maps identically to the
+    sentinel). Round-3/4 A/Bs measured a 64-bit two-word variant: the
+    extra delta-cumsum expansion column cost ~3 ms at K~3M and 33..64-tile
+    rects are rare, so the 64-bit arm was deleted (VERDICT r3 item 8).
     """
     f32 = jnp.float32
     i32 = jnp.int32
@@ -105,10 +94,10 @@ def tile_cull_bitmaps(
     a_s = jnp.maximum(a, 1e-12)
     c_s = jnp.maximum(c, 1e-12)
 
-    cap = 8  # loop bound per axis; area cap is cap_bits
+    cap = 8  # loop bound per axis; area cap is the 32-bit bitmap width
     small = jnp.logical_and(
         jnp.logical_and(rect_w <= cap, rect_h <= cap),
-        rect_w * rect_h <= cap_bits,
+        rect_w * rect_h <= _CULL_CAP_BITS,
     )
 
     def q(dx, dy):
@@ -134,8 +123,7 @@ def tile_cull_bitmaps(
         x = jnp.clip(-b_over_a * by, bx0, bx1)
         return q(x, by)
 
-    bm_lo = jnp.zeros((P,), i32)
-    bm_hi = jnp.zeros((P,), i32)
+    bm = jnp.zeros((P,), i32)
     counts = jnp.zeros((P,), i32)
     one = jnp.ones((P,), i32)
     for dy in range(cap):
@@ -156,23 +144,17 @@ def tile_cull_bitmaps(
             )
             shift = dy * rect_w + dx  # row-major rect-local bit index
             bit = jnp.where(keep, one, 0) << jnp.clip(shift, 0, 31)
-            bm_lo = bm_lo | jnp.where(shift < 32, bit, 0)
-            bit_hi = jnp.where(keep, one, 0) << jnp.clip(shift - 32, 0, 31)
-            bm_hi = bm_hi | jnp.where(shift >= 32, bit_hi, 0)
+            bm = bm | jnp.where(shift < 32, bit, 0)
             counts = counts + keep.astype(i32)
 
     full = rect_w * rect_h
-    bm_lo = jnp.where(small, bm_lo, -1)
+    bm = jnp.where(small, bm, -1)
     counts = jnp.where(small, counts, full)
-    if cap_bits <= 32:
-        return bm_lo, None, counts
-    bm_hi = jnp.where(small, bm_hi, -1)
-    return bm_lo, bm_hi, counts
+    return bm, counts
 
 
 def clip_cull_bitmaps_rows(
-    bm_lo: jnp.ndarray,  # (P,) int32 bitmap (rect-local, row-major)
-    bm_hi: Optional[jnp.ndarray],  # (P,) int32 or None (32-bit mode)
+    bm: jnp.ndarray,  # (P,) int32 bitmap (rect-local, row-major)
     rect_w: jnp.ndarray,  # (P,) int32 rect width in tiles (unchanged by clip)
     drop_rows: jnp.ndarray,  # (P,) int32 rect rows clipped off the TOP
     clipped_h: jnp.ndarray,  # (P,) int32 surviving rect rows
@@ -182,16 +164,15 @@ def clip_cull_bitmaps_rows(
     The sharded tile-strip path clips every rect to its device's strip of
     tile rows; because the bitmap enumerates rect tiles row-major with an
     unchanged width, the clipped bitmap is just (bitmap >> drop_rows *
-    rect_w) masked to clipped_h * rect_w bits. This replaces the O(64 P)
-    post-gather recompute of the full tile_cull_bitmaps loop with ~20
+    rect_w) masked to clipped_h * rect_w bits. This replaces the O(32 P)
+    post-gather recompute of the full tile_cull_bitmaps loop with ~10
     int32 lane ops (VERDICT r2 weak #3): each device now pays the bitmap
     loop only on its own P/n shard, pre-gather.
 
-    The (-1, -1) "full rect" sentinel passes through unchanged with
-    counts = rect_w * clipped_h (keep-all; the post-gather recompute used
-    to re-cull those rects, this keeps strictly more — conservative).
-    Returns (lo, hi_or_None, counts) with the same conventions as
-    tile_cull_bitmaps.
+    The -1 "full rect" sentinel passes through unchanged with counts =
+    rect_w * clipped_h (keep-all; the post-gather recompute used to
+    re-cull those rects, this keeps strictly more — conservative).
+    Returns (bm, counts) with the same conventions as tile_cull_bitmaps.
     """
     i32 = jnp.int32
     u32 = jnp.uint32
@@ -199,45 +180,27 @@ def clip_cull_bitmaps_rows(
     shr = jax.lax.shift_right_logical
     shl = jax.lax.shift_left
 
-    hi_in = bm_hi if bm_hi is not None else jnp.where(bm_lo == -1, i32(-1), i32(0))
-    full = (bm_lo & hi_in) == -1
-    u_lo = bm_lo.astype(u32)
-    u_hi = hi_in.astype(u32)
+    full = bm == -1
+    u = bm.astype(u32)
 
     s = (drop_rows * rect_w).astype(i32)  # bits to shift right, >= 0
-    # 64-bit logical right shift built from 32-bit halves; all shift
-    # amounts clamped to [0, 31] (XLA shifts >= bitwidth are undefined).
-    sa = jnp.clip(s, 1, 31).astype(u32)
-    lo_mid = shr(u_lo, sa) | shl(u_hi, u32(32) - sa)
-    hi_mid = shr(u_hi, sa)
-    sb = jnp.clip(s - 32, 0, 31).astype(u32)
-    lo_hiq = jnp.where(s >= 64, u32(0), shr(u_hi, sb))
-    lo = jnp.where(s == 0, u_lo, jnp.where(s < 32, lo_mid, lo_hiq))
-    hi = jnp.where(s == 0, u_hi, jnp.where(s < 32, hi_mid, u32(0)))
+    # shift amounts clamped to [0, 31] (XLA shifts >= bitwidth are
+    # undefined); s >= 32 can only happen on sentinel rects (area <= 32
+    # otherwise), which bypass via `full`.
+    w = shr(u, jnp.clip(s, 0, 31).astype(u32))
+    w = jnp.where(s >= 32, u32(0), w)
 
     # mask to the clipped area's bits
     area = (rect_w * clipped_h).astype(i32)
-    m_lo = jnp.where(
+    m = jnp.where(
         area >= 32,
         u32(0xFFFFFFFF),
         shl(u32(1), jnp.clip(area, 0, 31).astype(u32)) - u32(1),
     )
-    a_hi = jnp.clip(area - 32, 0, 32)
-    m_hi = jnp.where(
-        a_hi >= 32,
-        u32(0xFFFFFFFF),
-        shl(u32(1), jnp.clip(a_hi, 0, 31).astype(u32)) - u32(1),
-    )
-    lo = (lo & m_lo).astype(i32)
-    hi = (hi & m_hi).astype(i32)
+    w = (w & m).astype(i32)
 
-    counts = pc(lo) + pc(hi)
-    out_lo = jnp.where(full, i32(-1), lo)
-    out_hi = jnp.where(full, i32(-1), hi)
-    counts = jnp.where(full, area, counts)
-    if bm_hi is None:
-        return out_lo, None, counts
-    return out_lo, out_hi, counts
+    counts = jnp.where(full, area, pc(w))
+    return jnp.where(full, i32(-1), w), counts
 
 
 def _transform_point(mat, p, w_row: bool):
@@ -391,12 +354,11 @@ def preprocess(
     # Exact per-tile cull AFTER radii/visible: the aux outputs (the
     # reference's visibility_filter = radii > 0 and the densification
     # stats) keep pre-cull semantics; only the emitted tile lists shrink.
-    cull_lo = cull_hi = None
+    cull_bm = None
     if tile_cull:
-        cull_lo, cull_hi, tiles_kept = tile_cull_bitmaps(
+        cull_bm, tiles_kept = tile_cull_bitmaps(
             mean2d, conic, opa, rmin_x, rmin_y,
             rmax_x - rmin_x, rmax_y - rmin_y, tile_w, tile_h,
-            cap_bits=_cull_cap_bits(),
         )
         tiles = jnp.where(visible, tiles_kept, 0)
 
@@ -417,6 +379,5 @@ def preprocess(
         rect_max=jnp.stack([rmax_x, rmax_y], axis=-1),
         tiles_touched=tiles,
         visible=visible,
-        cull_lo=cull_lo,
-        cull_hi=cull_hi,
+        cull_bm=cull_bm,
     )

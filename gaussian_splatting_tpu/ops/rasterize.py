@@ -98,8 +98,7 @@ def _xla_path(prep, config, grid_x, grid_y, width, height, bg):
         grid_x,
         grid_y,
         config.capacity(prep.depths.shape[0]),
-        cull_lo=prep.cull_lo,
-        cull_hi=prep.cull_hi,
+        cull_bm=prep.cull_bm,
     )
     out = composite.composite_tiles(
         prep,

@@ -155,7 +155,7 @@ def make_sharded_train_step(
                 tile_cull=raster_cfg.tile_cull,
             )
             # Compact records, replicated to every device over ICI. The
-            # cull bitmaps ride along so each device pays the O(64 P)
+            # cull bitmaps ride along so each device pays the O(32 P)
             # bitmap loop only on its own P/n shard (pre-gather); the
             # strip clip below is pure bit shifts on the gathered maps.
             rec = [
@@ -165,16 +165,13 @@ def make_sharded_train_step(
                 prep_local.radii,
             ]
             if raster_cfg.tile_cull:
-                rec.append(prep_local.cull_lo)
-                if prep_local.cull_hi is not None:
-                    rec.append(prep_local.cull_hi)
+                rec.append(prep_local.cull_bm)
             rec = jax.tree.map(
                 lambda x: jax.lax.all_gather(x, axis, axis=0, tiled=True), rec
             )
             (means2d, depths, conic, rgb, opacity, rect_min, rect_max,
              visible, radii_full) = rec[:9]
-            g_cull_lo = rec[9] if raster_cfg.tile_cull else None
-            g_cull_hi = rec[10] if len(rec) > 10 else None
+            g_cull_bm = rec[9] if raster_cfg.tile_cull else None
             P_full = means2d.shape[0]
 
             # Clip every Gaussian's tile rect to my strip of tile rows.
@@ -188,13 +185,13 @@ def make_sharded_train_step(
                 0,
             ).astype(jnp.int32)
 
-            cull_lo = cull_hi = None
+            cull_bm = None
             if raster_cfg.tile_cull:
                 # Clip the gathered per-rect bitmaps to my strip with bit
                 # shifts: the bitmap is row-major over rect tiles with an
                 # unchanged width, so dropping the rows above the strip is
                 # a >> (drop_rows * rect_w), then a mask to the clipped
-                # area. ~20 lane ops vs re-running the 64-iteration
+                # area. ~10 lane ops vs re-running the 32-iteration
                 # bitmap loop over P_full on every device (VERDICT r2 #6).
                 from gaussian_splatting_tpu.ops.projection import (
                     clip_cull_bitmaps_rows,
@@ -203,8 +200,8 @@ def make_sharded_train_step(
                 drop_rows = jnp.maximum(
                     rmin_y + row_lo - rect_min[:, 1], 0
                 ).astype(jnp.int32)
-                cull_lo, cull_hi, tiles_kept = clip_cull_bitmaps_rows(
-                    g_cull_lo, g_cull_hi,
+                cull_bm, tiles_kept = clip_cull_bitmaps_rows(
+                    g_cull_bm,
                     rect_max[:, 0] - rect_min[:, 0],
                     drop_rows, rmax_y - rmin_y,
                 )
@@ -216,7 +213,7 @@ def make_sharded_train_step(
                 opacity=opacity, radii=radii_full,
                 rect_min=rect_min_l, rect_max=rect_max_l,
                 tiles_touched=tiles_l, visible=visible,
-                cull_lo=cull_lo, cull_hi=cull_hi,
+                cull_bm=cull_bm,
             )
             if raster_cfg.backend == "pallas":
                 from gaussian_splatting_tpu.ops.composite_pallas import (
@@ -230,7 +227,7 @@ def make_sharded_train_step(
             else:
                 lists = binning.build_tile_lists(
                     rect_min_l, rect_max_l, depths, tiles_l, grid_x, rows_per,
-                    capacity, cull_lo=cull_lo, cull_hi=cull_hi,
+                    capacity, cull_bm=cull_bm,
                 )
                 out = composite.composite_tiles(
                     prep_full, lists, width, strip_h, tw, th, bg,

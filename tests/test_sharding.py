@@ -295,22 +295,37 @@ def test_two_process_collectives():
         os.path.dirname(here) + os.pathsep + env.get("PYTHONPATH", "")
     )
     env.pop("XLA_FLAGS", None)  # worker sets its own device count
-    procs = [
-        subprocess.Popen(
-            [sys.executable, worker, str(i), str(port)],
-            env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
-        )
-        for i in range(2)
-    ]
-    outs = []
-    try:
-        for p in procs:
-            out, err = p.communicate(timeout=900)
-            outs.append((p.returncode, out, err))
-    finally:
-        for p in procs:
-            if p.poll() is None:
-                p.kill()
+
+    def run_once(port):
+        procs = [
+            subprocess.Popen(
+                [sys.executable, worker, str(i), str(port)],
+                env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+                text=True,
+            )
+            for i in range(2)
+        ]
+        outs = []
+        try:
+            for p in procs:
+                out, err = p.communicate(timeout=900)
+                outs.append((p.returncode, out, err))
+        finally:
+            for p in procs:
+                if p.poll() is None:
+                    p.kill()
+        return outs
+
+    outs = run_once(port)
+    if any(rc != 0 for rc, _, _ in outs):
+        # One retry on a fresh port: the coordinator handshake can time out
+        # under heavy machine load (observed when a TPU benchmark batch was
+        # compiling concurrently); a genuine code failure repeats.
+        s = socket.socket()
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+        s.close()
+        outs = run_once(port)
     for rc, out, err in outs:
         assert rc == 0, f"worker failed rc={rc}\nstdout:{out}\nstderr:{err[-3000:]}"
         assert "two-process-ok" in out, out

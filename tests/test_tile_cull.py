@@ -38,21 +38,18 @@ def _prep(g, tile_cull, tw=16, th=16):
 
 
 def test_select_tile_bit_oracle():
-    """_select_tile_bit(lo, hi, i) must return the position of the i-th
-    set bit of the 64-bit mask lo | hi << 32 (the all-ones sentinel rows
-    return i itself, which coincides with the i-th set bit anyway)."""
+    """_select_tile_bit(bm, i) must return the position of the i-th set
+    bit of the 32-bit mask (the all-ones sentinel rows return i itself,
+    which coincides with the i-th set bit anyway)."""
     rng = np.random.default_rng(3)
-    masks = rng.integers(0, 2, size=(200, 64)).astype(np.uint64)
+    masks = rng.integers(0, 2, size=(200, 32)).astype(np.uint64)
     masks[0] = 0
     masks[0][7] = 1  # degenerate: single bit
-    masks[1] = np.ones(64)  # full mask == the -1 sentinel
-    lo = np.zeros(200, np.int64)
-    hi = np.zeros(200, np.int64)
+    masks[1] = np.ones(32)  # full mask == the -1 sentinel
+    bm = np.zeros(200, np.int64)
     for b in range(32):
-        lo |= masks[:, b].astype(np.int64) << b
-        hi |= masks[:, 32 + b].astype(np.int64) << b
-    lo32 = jnp.asarray(lo.astype(np.uint32).view(np.int32))
-    hi32 = jnp.asarray(hi.astype(np.uint32).view(np.int32))
+        bm |= masks[:, b].astype(np.int64) << b
+    bm32 = jnp.asarray(bm.astype(np.uint32).view(np.int32))
     idx, want, rows = [], [], []
     for r in range(200):
         setbits = np.flatnonzero(masks[r])
@@ -61,8 +58,7 @@ def test_select_tile_bit_oracle():
             idx.append(i)
             want.append(b)
     got = binning._select_tile_bit(
-        lo32[jnp.asarray(rows)], hi32[jnp.asarray(rows)],
-        jnp.asarray(idx, jnp.int32),
+        bm32[jnp.asarray(rows)], jnp.asarray(idx, jnp.int32)
     )
     np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
 
@@ -72,15 +68,8 @@ def test_cull_is_lossless_per_tile():
     g = _scene(500, seed=1)
     prep = _prep(g, tile_cull=True)
     prep_ref = _prep(g, tile_cull=False)
-    lo = np.asarray(prep.cull_lo)
-    # 32-bit cull mode (GS_TPU_CULL_BITS=32) carries no hi word: the hi
-    # half is derived from the lo == -1 "full rect" sentinel, mirroring
-    # the production consumers (binning._select_tile_bit).
-    cap_bits = projection._cull_cap_bits()
-    if prep.cull_hi is None:
-        hi = np.where(lo == -1, np.int32(-1), np.int32(0))
-    else:
-        hi = np.asarray(prep.cull_hi)
+    bms = np.asarray(prep.cull_bm)
+    cap_bits = projection._CULL_CAP_BITS
     rect_min = np.asarray(prep.rect_min)
     rect_max = np.asarray(prep.rect_max)
     conic = np.asarray(prep.conic)
@@ -96,9 +85,7 @@ def test_cull_is_lossless_per_tile():
         if rw * rh > cap_bits or rw > 8 or rh > 8:
             assert counts[i] == rw * rh  # fallback keeps the full rect
             continue
-        bm = (np.uint64(np.uint32(lo[i]))) | (
-            np.uint64(np.uint32(hi[i])) << np.uint64(32)
-        )
+        bm = np.uint64(np.uint32(bms[i]))
         nbits = bin(int(bm) & ((1 << int(rw * rh)) - 1)).count("1")
         assert counts[i] == nbits, i
         a, b, c = conic[i]
@@ -152,40 +139,6 @@ def test_cull_image_and_grads_identical(backend):
     # differences, so dropping entries changes the summation order; allow
     # reduction-rounding scaled by the gradient magnitude.
     for a, b in zip(g_on, g_off):
-        a, b = np.asarray(a), np.asarray(b)
-        scale = max(np.abs(b).max(), 1e-8)
-        np.testing.assert_allclose(a, b, atol=1e-3 * scale, rtol=1e-3)
-
-
-@pytest.mark.parametrize("backend", ["xla", "pallas"])
-def test_cull_bits32_matches_default(backend, monkeypatch):
-    """GS_TPU_CULL_BITS=32 (lo-only bitmaps, sentinel-derived hi) must
-    reproduce the default 64-bit path's image and gradients (the 32-bit
-    cull keeps strictly more tiles, all of which are no-ops for the
-    compositor)."""
-    g = _scene(400, seed=5)
-    means, scales, quats, opacities, shs = g
-    cam = make_camera(W, H)
-    bg = jnp.asarray([0.2, 0.1, 0.0], jnp.float32)
-    cfg = RasterizerConfig(backend=backend, capacity_mult=32, tile_cull=True)
-
-    def render():
-        def f(m, o):
-            img, _ = rasterize(
-                m, scales, quats, o, shs, 2, cam.arrays(), W, H, bg, cfg,
-            )
-            return jnp.sum(img * img), img
-
-        (_, img), grads = jax.value_and_grad(f, argnums=(0, 1),
-                                             has_aux=True)(means, opacities)
-        return img, grads
-
-    img_ref, g_ref = render()
-    monkeypatch.setenv("GS_TPU_CULL_BITS", "32")
-    img_alt, g_alt = render()
-    np.testing.assert_allclose(np.asarray(img_alt), np.asarray(img_ref),
-                               atol=1e-6, rtol=0)
-    for a, b in zip(g_alt, g_ref):
         a, b = np.asarray(a), np.asarray(b)
         scale = max(np.abs(b).max(), 1e-8)
         np.testing.assert_allclose(a, b, atol=1e-3 * scale, rtol=1e-3)
@@ -271,7 +224,7 @@ def test_faint_splat_stays_visible_with_zero_tiles():
 def test_clip_cull_bitmaps_rows_oracle():
     """Bit-shift row clipping must match a brute-force numpy re-derivation
     (bit dy*w+dx of the clipped map == bit (dy+drop)*w+dx of the global),
-    including the (-1,-1) keep-all sentinel and empty clips."""
+    including the -1 keep-all sentinel and empty clips."""
     from gaussian_splatting_tpu.ops.projection import clip_cull_bitmaps_rows
 
     rng = np.random.default_rng(7)
@@ -279,12 +232,14 @@ def test_clip_cull_bitmaps_rows_oracle():
     w = rng.integers(1, 9, n)
     h = rng.integers(1, 9, n)
     area = w * h
-    bits = rng.integers(0, 1 << 32, (n, 2), dtype=np.uint64)
-    bm = (bits[:, 0] | (bits[:, 1] << np.uint64(32)))
-    bm &= np.where(area >= 64, np.uint64(2**64 - 1),
+    bm = rng.integers(0, 1 << 32, n, dtype=np.uint64)
+    bm &= np.where(area >= 32, np.uint64(0xFFFFFFFF),
                    (np.uint64(1) << area.astype(np.uint64)) - np.uint64(1))
-    sentinel = rng.random(n) < 0.15
-    bm = np.where(sentinel, np.uint64(2**64 - 1), bm)
+    # producer semantics (tile_cull_bitmaps): rects wider than the 32-bit
+    # bitmap keep all tiles via the sentinel; also sprinkle sentinels on
+    # small rects (the producer emits them for >8-wide/tall rects too).
+    sentinel = (rng.random(n) < 0.15) | (area > 32)
+    bm = np.where(sentinel, np.uint64(0xFFFFFFFF), bm)
     drop = rng.integers(0, 10, n)  # may exceed h (empty clip)
     clipped_h = np.maximum(h - drop, 0)
 
@@ -301,35 +256,14 @@ def test_clip_cull_bitmaps_rows_oracle():
                     exp_bm[i] |= np.uint64(1) << np.uint64(dy * w[i] + dx)
                     exp_counts[i] += 1
 
-    lo_in = jnp.asarray((bm & np.uint64(0xFFFFFFFF)).astype(np.uint32).view(np.int32))
-    hi_in = jnp.asarray((bm >> np.uint64(32)).astype(np.uint32).view(np.int32))
-    lo, hi, counts = clip_cull_bitmaps_rows(
-        lo_in, hi_in, jnp.asarray(w, jnp.int32), jnp.asarray(drop, jnp.int32),
+    bm_in = jnp.asarray(bm.astype(np.uint32).view(np.int32))
+    out, counts = clip_cull_bitmaps_rows(
+        bm_in, jnp.asarray(w, jnp.int32), jnp.asarray(drop, jnp.int32),
         jnp.asarray(clipped_h, jnp.int32),
     )
-    got = (np.asarray(lo).view(np.uint32).astype(np.uint64)
-           | (np.asarray(hi).view(np.uint32).astype(np.uint64) << np.uint64(32)))
+    got = np.asarray(out).view(np.uint32).astype(np.uint64)
     np.testing.assert_array_equal(np.asarray(counts), exp_counts)
-    ok = sentinel | (got == exp_bm)
     # sentinel rows stay sentinel (keep-all)
-    assert np.all(got[sentinel] == np.uint64(2**64 - 1))
+    assert np.all(got[sentinel] == np.uint64(0xFFFFFFFF))
+    ok = sentinel | (got == exp_bm)
     assert ok.all(), np.nonzero(~ok)
-
-    # 32-bit mode: hi is None, same semantics on the low half
-    small = area <= 32
-    bm32 = np.where(sentinel, np.uint64(2**64 - 1), bm)
-    lo32_in = jnp.asarray(
-        np.where(sentinel, np.uint32(0xFFFFFFFF),
-                 (bm32 & np.uint64(0xFFFFFFFF)).astype(np.uint32)).view(np.int32)
-    )
-    lo32, hi32, counts32 = clip_cull_bitmaps_rows(
-        lo32_in, None, jnp.asarray(w, jnp.int32), jnp.asarray(drop, jnp.int32),
-        jnp.asarray(clipped_h, jnp.int32),
-    )
-    assert hi32 is None
-    sel = small & ~sentinel
-    np.testing.assert_array_equal(np.asarray(counts32)[sel], exp_counts[sel])
-    np.testing.assert_array_equal(
-        np.asarray(lo32).view(np.uint32)[sel],
-        (exp_bm & np.uint64(0xFFFFFFFF)).astype(np.uint32)[sel],
-    )

@@ -108,7 +108,7 @@ def _emit(pr):
     return binning.emit_sorted_records(
         pr.means2d, pr.conic, pr.rgb, pr.opacity, pr.depths,
         pr.rect_min, pr.rect_max, pr.tiles_touched, GRID_X, GRID_Y, CAP,
-        cull_lo=pr.cull_lo, cull_hi=pr.cull_hi,
+        cull_bm=pr.cull_bm,
     )
 
 

@@ -64,7 +64,6 @@ def main():
         ("tile_cull", "render cull=1 16x16", "render cull=0 16x16"),
         ("GS_TPU_POWER", "render cull=1 16x16", "render horner power"),
         ("GS_TPU_EXPAND", "render cull=1 16x16", "render fused expand"),
-        ("GS_TPU_CULL_BITS", "render cull=1 16x16", "render cull=1 bits32"),
     ]:
         va = next((d["value"] for l, d in rows if l == a), None)
         vb = next((d["value"] for l, d in rows if l == b), None)
