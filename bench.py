@@ -1,7 +1,10 @@
 """Benchmark: 1080p novel-view render FPS on one TPU chip.
 
 Baseline: the reference claims >= 30 fps at 1080p on a contemporary GPU
-(README.md:14). vs_baseline = fps / 30.
+(README.md:14). vs_baseline = fps / 30. The claim is about TRAINED
+converged scenes, so the default bench renders the committed trained
+model (assets/trained_r4.ply, trained on-chip by tools/bench_trained.sh);
+GS_BENCH_SCENE=cloud|shell selects the synthetic stress proxies.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 Tunables via env: GS_BENCH_P (Gaussians), GS_BENCH_W/H, GS_BENCH_BACKEND,
@@ -25,6 +28,20 @@ import numpy as np
 # BENCH_r02.json was an rc=1 backend failure with no number at all).
 MEASURED_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)), "MEASURED.json")
 
+# Committed trained model (bench_trained.sh: 400x400 synthetic scene, 3000
+# iters with densification, PSNR 33.4). When present it is the DEFAULT
+# bench scene: the reference's ">= 30 fps at 1080p" headline (README.md:14)
+# is a claim about trained converged scenes — where opacity saturation
+# drives the compositor's early exit — not about random stress clouds.
+# GS_BENCH_SCENE=cloud|shell still selects the synthetic proxies.
+TRAINED_PLY = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), "assets", "trained_r4.ply"
+)
+
+
+def _default_scene():
+    return "ply" if os.path.exists(TRAINED_PLY) else "cloud"
+
 
 def main():
     """Retry wrapper: backend-init failures are cached per-process by the
@@ -34,7 +51,7 @@ def main():
         _run()
         return
     mode = os.environ.get("GS_BENCH_MODE", "render")
-    scene = os.environ.get("GS_BENCH_SCENE", "cloud")
+    scene = os.environ.get("GS_BENCH_SCENE") or _default_scene()
     if scene != "cloud":
         mode = f"{mode}_{scene}"  # separate last-known-good slot per scene
     retries = int(os.environ.get("GS_BENCH_RETRIES", 3))
@@ -59,8 +76,12 @@ def main():
                     if "metric" in cand and "value" in cand:
                         result = cand
             if result is not None:
-                if not os.environ.get("GS_BENCH_PLATFORM"):
-                    # Don't let CPU debug runs clobber the TPU numbers.
+                if not os.environ.get("GS_BENCH_PLATFORM") and not os.environ.get(
+                    "GS_BENCH_NOSAVE"
+                ):
+                    # Don't let CPU debug runs (or measure-script A/B arms,
+                    # which set GS_BENCH_NOSAVE=1 on non-default flags)
+                    # clobber the last-known-good TPU numbers.
                     _save_measured(mode, result)
                 print(json.dumps(result))
                 return
@@ -132,12 +153,16 @@ def _run():
     chunk = int(os.environ.get("GS_BENCH_CHUNK", 1024))
     cap_mult = int(os.environ.get("GS_BENCH_CAPMULT", 8))
     mode = os.environ.get("GS_BENCH_MODE", "render")
+    scene = os.environ.get("GS_BENCH_SCENE") or _default_scene()
+    os.environ["GS_BENCH_SCENE"] = scene  # downstream metric names read it
     tile_w = int(os.environ.get("GS_BENCH_TILE_W", 32))
-    tile_h = int(os.environ.get("GS_BENCH_TILE_H", 16))
+    # Measured tile winners (MEASURE_r3e.log, MEASURE_r4_trained.log):
+    # 32x16 on the synthetic proxies, 32x32 on trained anisotropic splats
+    # (31.6 vs 25.2 fps — fewer, larger tiles win once early exit bites).
+    tile_h = int(os.environ.get("GS_BENCH_TILE_H", 32 if scene == "ply" else 16))
     tile_cull = os.environ.get("GS_BENCH_TILE_CULL", "0") != "0"
 
     rng = np.random.default_rng(0)
-    scene = os.environ.get("GS_BENCH_SCENE", "cloud")
     shs = None
     if scene == "ply":
         # Benchmark a TRAINED model (the honest form of the reference's
@@ -147,7 +172,7 @@ def _run():
         # auto-frame a novel-view camera on the scene's bounding sphere.
         from gaussian_splatting_tpu.scene.ply import load_gaussians_ply
 
-        raw = load_gaussians_ply(os.environ["GS_BENCH_PLY"])
+        raw = load_gaussians_ply(os.environ.get("GS_BENCH_PLY", TRAINED_PLY))
         means_np = raw["xyz"]
         center = means_np.mean(axis=0)
         radius = float(np.quantile(np.linalg.norm(means_np - center, axis=1), 0.95))

@@ -246,21 +246,16 @@ def _fused_expand() -> bool:
     return os.environ.get("GS_TPU_EXPAND", "fused") != "percol"
 
 
-def _records_mode() -> str:
-    """How the 9 render fields reach their sorted entry order.
-
-    "gather" (default): one post-sort row gather from the (P, 16) record
-    table — measured ~12 ns/row (~25 ms at K=2.1M), an XLA issue-rate
-    floor invariant to layout (round-3 gforms).
-    "sortpay": the fields travel as SORT PAYLOADS — each is constant per
-    gaussian, so its f32 BIT PATTERN expands exactly through the fused
-    delta-cumsum (like the depth key), and the (tile, depth) sort carries
-    9 extra i32 operands. Cost model: 9 payload passes x ~1.5-2 ms
-    ~= 14-18 ms, replacing the ~25 ms gather. Compile-time risk: the
-    12-operand sort takes minutes to compile once (persistent cache
-    amortizes). Bit-identical outputs (bitcast round-trip is exact).
-    """
-    return os.environ.get("GS_TPU_FWD_RECORDS", "gather")
+# How the 9 render fields reach their sorted entry order: one post-sort
+# row gather from the (P, 16) record table — measured ~12 ns/row (~25 ms
+# at K=2.1M), an XLA issue-rate floor invariant to layout (round-3
+# gforms). The round-4 "sortpay" alternative — fields ride the
+# (tile, depth) sort as 9 expanded f32-bit-pattern payload operands,
+# replacing the gather entirely — measured decisively SLOWER
+# (MEASURE_r4.log: cloud 13.0 vs 19.1 fps, shell 16.4 vs 26.6: the 9
+# extra expansion columns + 12-operand sort cost ~25 ms MORE per frame
+# than the gather they replace, the cost model's 14-18 ms was wrong)
+# and was deleted per the losers-get-deleted convention.
 
 
 def _expand_many(cols, offs, k):
@@ -369,11 +364,7 @@ def emit_sorted_records(
     depth_bits = jax.lax.bitcast_convert_type(depths.astype(f32), i32)
 
     # The 9 render fields the compositing kernel consumes, in record-row
-    # order (conic pre-folded, see `prow` below). In "sortpay" mode they
-    # expand per-entry as f32 bit patterns (constant per gaussian, so the
-    # delta-cumsum reconstructs them exactly) and ride the sort as
-    # payloads, replacing the post-sort row gather.
-    sortpay = _records_mode() == "sortpay"
+    # order (conic pre-folded, see `prow` below).
     field_cols = [
         means2d[:, 0].astype(f32),
         means2d[:, 1].astype(f32),
@@ -394,10 +385,6 @@ def emit_sorted_records(
     src_cols += [geo, depth_bits]
     if cull_bm is not None:
         src_cols.append(cull_bm)
-    if sortpay:
-        src_cols += [
-            jax.lax.bitcast_convert_type(c, i32) for c in field_cols
-        ]
     if _fused_expand():
         e_cols = _expand_many(src_cols, offs, k)
     else:
@@ -433,49 +420,29 @@ def emit_sorted_records(
     tile_key = jnp.where(valid, tile, num_tiles)
     depth_key = jnp.where(valid, e_depth, jnp.int32(0x7F7FFFFF))
     gid_key = jnp.where(valid, e_gid, p)
-    if sortpay:
-        # 12-operand sort: the 9 expanded field bit patterns ride as
-        # payloads and land directly in sorted order — no post-sort
-        # gather. Padding lanes carry the cumsum's constant tail (the
-        # last gaussian's fields): finite-or-NaN garbage exactly like
-        # the gather path's clamped rows; kernels mask every lane
-        # outside a tile's [start, stop) range.
-        sorted_all = jax.lax.sort(
-            (tile_key, depth_key, gid_key) + tuple(e_cols),
-            num_keys=2, is_stable=False,
-        )
-        s_tile, _, s_gid = sorted_all[:3]
-        s_fields = [
-            jax.lax.bitcast_convert_type(c, f32) for c in sorted_all[3:]
-        ]
-        rec = jnp.concatenate(
-            [jnp.stack(s_fields, axis=0), jnp.zeros((REC_ROWS - 9, k), f32)],
-            axis=0,
-        )  # (REC_ROWS, K)
-    else:
-        s_tile, _, s_gid = jax.lax.sort(
-            (tile_key, depth_key, gid_key), num_keys=2, is_stable=False
-        )
+    s_tile, _, s_gid = jax.lax.sort(
+        (tile_key, depth_key, gid_key), num_keys=2, is_stable=False
+    )
 
-        # Render fields per sorted entry: ONE K-sized row gather. Padding
-        # rows carry clamped-but-finite garbage — safe, since the kernels
-        # mask every lane outside a tile's [start, stop) range and the VJP
-        # routes the padding sentinel id outside every reduction run.
-        # Conic coefficients are stored PRE-FOLDED as (-0.5*ca, -cb,
-        # -0.5*cc) so the compositing kernels evaluate power = c2a*dx^2 +
-        # c2c*dy^2 + c2b*dx*dy with no sign/scale fixups (the VJP maps
-        # gradients back).
-        prow = jnp.stack(
-            field_cols + [jnp.zeros((p,), f32)] * (REC_ROWS - 9),
-            axis=1,
-        )  # (P, REC_ROWS)
-        ids = jnp.minimum(s_gid, p - 1)
-        # Direct XLA row gather + .T. Round-3 gforms measured the gather's
-        # ~12 ns/row cost INVARIANT to consumer/output layout at these
-        # shapes, so the Pallas layout-pinning sandwich (relayout_to_cols)
-        # bought nothing here and was deleted (MEASURE_r3b.log: relayout
-        # 14.0 vs direct 14.9 fps at 16x16; same ordering at 32x32).
-        rec = prow[ids].T  # (REC_ROWS, K)
+    # Render fields per sorted entry: ONE K-sized row gather. Padding
+    # rows carry clamped-but-finite garbage — safe, since the kernels
+    # mask every lane outside a tile's [start, stop) range and the VJP
+    # routes the padding sentinel id outside every reduction run.
+    # Conic coefficients are stored PRE-FOLDED as (-0.5*ca, -cb,
+    # -0.5*cc) so the compositing kernels evaluate power = c2a*dx^2 +
+    # c2c*dy^2 + c2b*dx*dy with no sign/scale fixups (the VJP maps
+    # gradients back).
+    prow = jnp.stack(
+        field_cols + [jnp.zeros((p,), f32)] * (REC_ROWS - 9),
+        axis=1,
+    )  # (P, REC_ROWS)
+    ids = jnp.minimum(s_gid, p - 1)
+    # Direct XLA row gather + .T. Round-3 gforms measured the gather's
+    # ~12 ns/row cost INVARIANT to consumer/output layout at these
+    # shapes, so the Pallas layout-pinning sandwich (relayout_to_cols)
+    # bought nothing here and was deleted (MEASURE_r3b.log: relayout
+    # 14.0 vs direct 14.9 fps at 16x16; same ordering at 32x32).
+    rec = prow[ids].T  # (REC_ROWS, K)
 
     tile_start, tile_stop = _tile_ranges(s_tile, num_tiles)
     return SortedRecords(

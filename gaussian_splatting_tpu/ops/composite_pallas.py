@@ -86,11 +86,31 @@ def _tri(strict: bool) -> jnp.ndarray:
     return cmp.astype(_f32)
 
 
-def _mm_scan(x: jnp.ndarray, strict: bool) -> jnp.ndarray:
+def _scan_prec(env: str) -> jax.lax.Precision:
+    """A/B: MXU pass count for the prefix-scan matmuls. HIGHEST (default)
+    is 6 bf16 passes ~ full f32; HIGH is 3 passes (~21 mantissa bits,
+    relative error ~5e-7 on the scan output); DEFAULT is 1 bf16 pass.
+    GS_TPU_SCAN_PREC governs the transmittance scan (shared fwd/bwd, so
+    replay stays exact — both kernels read the same flag); GS_TPU_CGW_PREC
+    governs the backward-only gradient-prefix scan, where reduced
+    precision perturbs gradients ~1e-6 relative and nothing is replayed."""
+    import os
+
+    name = os.environ.get(env, "hi")
+    return {
+        "hi": jax.lax.Precision.HIGHEST,
+        "high": jax.lax.Precision.HIGH,
+        "default": jax.lax.Precision.DEFAULT,
+    }[name]
+
+
+def _mm_scan(x: jnp.ndarray, strict: bool, prec=None) -> jnp.ndarray:
     """Lane-axis prefix SUM of a (TPX, CH) array via one MXU matmul."""
+    if prec is None:
+        prec = _scan_prec("GS_TPU_SCAN_PREC")
     return jax.lax.dot_general(
         x, _tri(strict), (((1,), (0,)), ((), ())),
-        preferred_element_type=_f32, precision=_HI,
+        preferred_element_type=_f32, precision=prec,
     )
 
 
@@ -399,7 +419,10 @@ def _bwd_kernel(
                 preferred_element_type=_f32, precision=_HI,
             )  # (TPX, CH) = sum_c g[c,p] * rgb[c,i]
             cgw = cg * wgt
-            pfx_incl = _mm_scan(cgw, strict=False) + pfx_s[...]
+            pfx_incl = (
+                _mm_scan(cgw, strict=False, prec=_scan_prec("GS_TPU_CGW_PREC"))
+                + pfx_s[...]
+            )
             a_i = tot_s[...] - pfx_incl  # suffix color dot g, incl final_t term
 
             # clamp gate folded into the select mask. dpower = dalpha * am

@@ -349,47 +349,6 @@ def test_pallas_large_grid_beyond_14bit():
     np.testing.assert_allclose(imgs["pallas"], imgs["xla"], atol=2e-4)
 
 
-def test_sortpay_records_bit_identical(scene, monkeypatch):
-    """GS_TPU_FWD_RECORDS=sortpay (render fields as sort payloads via
-    bit-pattern delta-cumsum expansion) must produce BIT-identical sorted
-    records, ids, and tile ranges to the default post-sort row gather.
-    Padding lanes past `total` are excluded (garbage differs by design:
-    cumsum tail vs clamped gather rows; kernels mask both)."""
-    (means, scales, quats, opacities, shs), cam = scene
-    prep = preprocess(
-        means, scales, quats, opacities, shs, 3, cam.arrays(), W, H, 16, 16
-    )
-    grid_x, grid_y = (W + 15) // 16, (H + 15) // 16
-    cap = 1 << 12
-
-    def emit():
-        return binning.emit_sorted_records(
-            prep.means2d, prep.conic, prep.rgb, prep.opacity, prep.depths,
-            prep.rect_min, prep.rect_max, prep.tiles_touched,
-            grid_x, grid_y, cap,
-        )
-
-    monkeypatch.delenv("GS_TPU_FWD_RECORDS", raising=False)
-    a = emit()
-    monkeypatch.setenv("GS_TPU_FWD_RECORDS", "sortpay")
-    b = emit()
-    total = int(a.total)
-    assert 0 < total <= cap
-    np.testing.assert_array_equal(np.asarray(a.total), np.asarray(b.total))
-    np.testing.assert_array_equal(
-        np.asarray(a.gauss_id), np.asarray(b.gauss_id)
-    )
-    np.testing.assert_array_equal(
-        np.asarray(a.tile_start), np.asarray(b.tile_start)
-    )
-    np.testing.assert_array_equal(
-        np.asarray(a.tile_stop), np.asarray(b.tile_stop)
-    )
-    ra = np.asarray(a.rec)[:9, :total]
-    rb = np.asarray(b.rec)[:9, :total]
-    np.testing.assert_array_equal(ra, rb)
-
-
 def test_relayout_to_rows_pads_and_transposes():
     """relayout_to_rows pads the lane axis to the block and returns the
     padded (K', R) transpose; rows < K are exact, the tail is zero."""
