@@ -286,6 +286,14 @@ def make_sharded_train_step(
             "l1": l1,
             "psnr": losses.psnr(jnp.clip(full, 0.0, 1.0), gt),
             "num_entries": jax.lax.psum(total, axis),
+            # Strip skew makes per-device totals uneven while the global
+            # sum stays under budget; a device whose strip overflows its
+            # capacity(P_full)//n share silently clips whole Gaussians out
+            # of its tile lists (the reference never drops entries — its
+            # arena resizes, rasterize_points.cu:28-36). Report the WORST
+            # strip so the host can compare it against the per-device
+            # budget and grow (trainer.step's overflow check).
+            "max_strip_entries": jax.lax.pmax(total, axis),
             "num_visible": jax.lax.psum(visible_l.sum(), axis),
         }
         return (

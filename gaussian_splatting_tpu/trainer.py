@@ -285,16 +285,23 @@ class Trainer:
 
         # Capacity overflow check: grow the entry budget if the tile list
         # clipped (reference reallocates its arena, rasterize_points.cu:28-36).
-        self._entry_window_max = max(self._entry_window_max, int(m["num_entries"]))
+        # Sharded runs must also check the WORST strip against the
+        # per-device share of the budget: a skewed strip (e.g. ground-plane
+        # tile rows holding 2x the mean) clips silently while the summed
+        # total stays under the global capacity.
+        n_dev = self.mesh.devices.size if self.mesh is not None else 1
+        strip_need = int(m.get("max_strip_entries", 0)) * n_dev
+        need = max(int(m["num_entries"]), strip_need)
+        self._entry_window_max = max(self._entry_window_max, need)
         cap = self.raster_cfg.capacity(self.state.params.xyz.shape[0])
-        if m["num_entries"] > cap:
+        if need > cap:
             from dataclasses import replace as _dc_replace
 
             if self.auto_capacity or self.raster_cfg.capacity_exact is not None:
-                self._set_capacity(self._entry_capacity(int(m["num_entries"])))
+                self._set_capacity(self._entry_capacity(need))
             else:
                 mult = self.raster_cfg.capacity_mult
-                while mult * self.state.params.xyz.shape[0] < m["num_entries"]:
+                while mult * self.state.params.xyz.shape[0] < need:
                     mult *= 2
                 self.raster_cfg = _dc_replace(self.raster_cfg, capacity_mult=mult)
 

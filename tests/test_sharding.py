@@ -332,3 +332,79 @@ def test_two_process_collectives():
     # both processes agree on the replicated loss
     losses = {o.split("loss=")[1].strip() for _, o, _ in outs}
     assert len(losses) == 1, losses
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_sharded_strip_skew_overflow_detected_and_recoverable():
+    """Skewed scene: every splat projects into the BOTTOM tile rows, so one
+    device's strip holds ~all entries while the global total stays under
+    the global capacity. Pre-fix this clipped whole Gaussians silently
+    (summed `num_entries` under budget, wrong image, no error, no growth).
+    The step must report `max_strip_entries` (pmax of per-device totals);
+    the trainer grows the budget from max_strip * n. With the grown budget
+    the sharded loss matches single-device exactly. The reference never
+    drops entries — its arena resizes (rasterize_points.cu:28-36)."""
+    rng = np.random.default_rng(3)
+    P = 700  # enough entries to exceed the 256-entry per-device floor
+    # world -y projects to the bottom of the image (camera up = +y)
+    pts = np.stack(
+        [
+            rng.uniform(-1.8, 1.8, P),
+            -1.7 + rng.uniform(-0.15, 0.15, P),
+            rng.uniform(-0.3, 0.3, P),
+        ],
+        axis=1,
+    ).astype(np.float32)
+    colors = rng.uniform(0.4, 0.9, (P, 3)).astype(np.float32)
+
+    def fresh_state():  # train_step donates: rebuild per use
+        params, alive = create_from_pcd(pts, colors, 3, capacity=768)
+        return init_train_state(params, alive)
+
+    cam = make_camera(W, H)
+    gt = jnp.zeros((H, W, 3), jnp.float32)
+    bg = jnp.zeros(3)
+    cam_arrays = jax.tree.map(jnp.asarray, cam.arrays())
+    opt = OptimizationConfig()
+    mesh = sharding.make_mesh(8)
+
+    # reference result + true entry count at a generous budget
+    big = RasterizerConfig(backend="xla", capacity_mult=64, chunk=128)
+    new1, m1 = train_step(
+        fresh_state(), cam_arrays, gt, bg,
+        jnp.asarray(1, jnp.int32), sh_degree=3, active_sh_degree=0,
+        width=W, height=H, raster_cfg=big, opt=opt, spatial_lr_scale=1.0,
+    )
+    m1 = jax.device_get(m1)
+    entries = int(m1["num_entries"])
+    # scene sanity: enough entries to beat the 256-entry per-device floor
+    assert entries > 320, entries
+
+    # tight budget: global capacity holds the total, a 1/8 strip does not
+    cap_small = ((entries + 255) // 256) * 256
+    assert max(cap_small // 8, 256) < entries
+    cfg_small = RasterizerConfig(
+        backend="xla", capacity_exact=cap_small, chunk=128
+    )
+    step_small = sharding.make_sharded_train_step(mesh, 3, 0, W, H, cfg_small, opt, 1.0)
+    st8 = sharding.shard_train_state(fresh_state(), mesh)
+    _, m_small = step_small(st8, cam_arrays, gt, bg, jnp.asarray(1, jnp.int32))
+    m_small = jax.device_get(m_small)
+
+    # the global total stays under budget — the old signal would NOT fire
+    assert int(m_small["num_entries"]) <= cap_small
+    # the per-strip signal does: the worst strip exceeds its 1/8 share
+    assert int(m_small["max_strip_entries"]) > cap_small // 8
+    # and the clipped strip produced a genuinely different (wrong) image
+    assert abs(float(m_small["loss"]) - float(m1["loss"])) > 1e-6
+
+    # trainer growth rule: capacity covering max_strip * n recovers parity
+    need = int(m_small["max_strip_entries"]) * 8
+    cap_big = ((need + 255) // 256) * 256
+    cfg_big = RasterizerConfig(backend="xla", capacity_exact=cap_big, chunk=128)
+    step_big = sharding.make_sharded_train_step(mesh, 3, 0, W, H, cfg_big, opt, 1.0)
+    st8b = sharding.shard_train_state(fresh_state(), mesh)
+    _, m_big = step_big(st8b, cam_arrays, gt, bg, jnp.asarray(1, jnp.int32))
+    m_big = jax.device_get(m_big)
+    np.testing.assert_allclose(m_big["loss"], m1["loss"], rtol=1e-5)
+    assert int(m_big["max_strip_entries"]) * 8 >= int(m_big["num_entries"])
