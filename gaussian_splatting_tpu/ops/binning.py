@@ -154,7 +154,14 @@ def build_tile_lists(
 # cheap there and sorts expensive, the mirror image of the TPU trade-off.
 # ---------------------------------------------------------------------------
 
-REC_ROWS = 16  # mx my c2a c2b c2c r g b op + 7 zero pad rows (sublane aligned)
+# Record rows: mx my c2a c2b c2c r g b op — exactly the 9 fields the
+# compositing kernel consumes. Rounds 1-4 padded to 16; the round-5
+# microbench (MICROBENCH_gather_r5.log, hoisting-proofed) confirms the
+# gather cost is a per-row issue floor (~13.8 ns/row) INVARIANT to row
+# width, so dropping the 7 zero-pad rows does not speed the gather — but
+# it does cut the rec residual, the backward's drec buffer, and every
+# kernel visit's record DMA by 7/16 of their bytes for free.
+REC_ROWS = 9
 
 _GEO_BITS = 10  # rect fields packed 10/10/10 => grids up to 1024x1024 tiles
 
@@ -432,10 +439,7 @@ def emit_sorted_records(
     # -0.5*cc) so the compositing kernels evaluate power = c2a*dx^2 +
     # c2c*dy^2 + c2b*dx*dy with no sign/scale fixups (the VJP maps
     # gradients back).
-    prow = jnp.stack(
-        field_cols + [jnp.zeros((p,), f32)] * (REC_ROWS - 9),
-        axis=1,
-    )  # (P, REC_ROWS)
+    prow = jnp.stack(field_cols, axis=1)  # (P, REC_ROWS)
     ids = jnp.minimum(s_gid, p - 1)
     # Direct XLA row gather + .T. Round-3 gforms measured the gather's
     # ~12 ns/row cost INVARIANT to consumer/output layout at these

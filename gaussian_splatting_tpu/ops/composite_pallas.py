@@ -6,7 +6,7 @@ The fast path replacing `cuda_rasterizer/forward.cu::renderCUDA`
 Design (TPU-first, not a CUDA translation):
 
 - Per-entry records arrive pre-sorted by (tile, depth) in a packed
-  (16, K) array: fields on sublanes, entries on lanes. The fields travel
+  (REC_ROWS, K) array: fields on sublanes, entries on lanes. The fields travel
   as *sort values* (binning.emit_sorted_records) because random gathers on
   TPU run on the scalar path (~35 ms per 5M-element gather on v5e) while
   lax.sort is bandwidth-friendly — the opposite trade-off from the
@@ -302,7 +302,7 @@ def _blend_state(geo, t_carry):
 
 def _fwd_kernel(
     vt_ref, ts_ref, tp_ref, vo_ref, oy_ref,  # scalar prefetch (compact)
-    rec_ref,  # (16, BLK) at the visit's source block
+    rec_ref,  # (REC_ROWS, BLK) at the visit's source block
     img_ref, ft_ref,  # outputs
     t_s,  # scratch (TPX, 1): |T| carry, sign = saturated
     *, grid_x: int, tile_w: int, tile_h: int,
@@ -354,7 +354,7 @@ def _fwd_kernel(
 def _bwd_kernel(
     vt_ref, ts_ref, tp_ref, vo_ref, oy_ref,  # scalar prefetch (compact)
     rec_ref, img_ref, g_ref, gft_ref, ft_ref,  # inputs
-    drec_ref,  # output (16, BLK) at the visit's source block
+    drec_ref,  # output (REC_ROWS, BLK) at the visit's source block
     t_s, pfx_s, tot_s,  # scratch (TPX, 1) x3
     *, grid_x: int, tile_w: int, tile_h: int,
 ):
@@ -459,10 +459,9 @@ def _bwd_kernel(
                 preferred_element_type=_f32, precision=_HI,
             )  # (3, CH)
 
-            pad = jnp.zeros((REC_ROWS - 9, CH), _f32)
             rows = jnp.concatenate(
-                [dmx, dmy, dc2a, dc2b, dc2c, drgb, dop, pad], axis=0
-            )
+                [dmx, dmy, dc2a, dc2b, dc2c, drgb, dop], axis=0
+            )  # (REC_ROWS, CH) — one gradient row per record field
             drec_ref[:, sl] = drec_ref[:, sl] + rows
 
             t_s[...] = st["new_t"]
