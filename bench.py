@@ -3,7 +3,7 @@
 Baseline: the reference claims >= 30 fps at 1080p on a contemporary GPU
 (README.md:14). vs_baseline = fps / 30. The claim is about TRAINED
 converged scenes, so the default bench renders the committed trained
-model (assets/trained_r4.ply, trained on-chip by tools/bench_trained.sh);
+model (assets/trained_r5.ply, trained on-chip by tools/bench_trained.sh);
 GS_BENCH_SCENE=cloud|shell selects the synthetic stress proxies.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
@@ -35,7 +35,7 @@ MEASURED_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)), "MEASUR
 # drives the compositor's early exit — not about random stress clouds.
 # GS_BENCH_SCENE=cloud|shell still selects the synthetic proxies.
 TRAINED_PLY = os.path.join(
-    os.path.dirname(os.path.abspath(__file__)), "assets", "trained_r4.ply"
+    os.path.dirname(os.path.abspath(__file__)), "assets", "trained_r5.ply"
 )
 
 
@@ -155,12 +155,14 @@ def _run():
     mode = os.environ.get("GS_BENCH_MODE", "render")
     scene = os.environ.get("GS_BENCH_SCENE") or _default_scene()
     os.environ["GS_BENCH_SCENE"] = scene  # downstream metric names read it
-    tile_w = int(os.environ.get("GS_BENCH_TILE_W", 32))
-    # Measured tile winners (MEASURE_r3e.log, MEASURE_r4_trained.log):
-    # 32x16 on the synthetic proxies, 32x32 on trained anisotropic splats
-    # (31.6 vs 25.2 fps — fewer, larger tiles win once early exit bites).
-    tile_h = int(os.environ.get("GS_BENCH_TILE_H", 32 if scene == "ply" else 16))
-    tile_cull = os.environ.get("GS_BENCH_TILE_CULL", "0") != "0"
+    # Measured tile winners (rasterize.default_tile_geometry): 32x16 on
+    # the synthetic proxies, 32x32 on trained anisotropic splats (31.6 vs
+    # 25.2 fps — fewer, larger tiles win once early exit bites).
+    from gaussian_splatting_tpu.ops.rasterize import default_tile_geometry
+
+    dtw, dth = default_tile_geometry(converged=(scene == "ply"))
+    tile_w = int(os.environ.get("GS_BENCH_TILE_W", dtw))
+    tile_h = int(os.environ.get("GS_BENCH_TILE_H", dth))
 
     rng = np.random.default_rng(0)
     shs = None
@@ -234,7 +236,7 @@ def _run():
     def count_entries():
         prep = preprocess(
             means, scales, quats, opacities, shs, 3, cam, W, H,
-            tile_w, tile_h, tile_cull=tile_cull,
+            tile_w, tile_h,
         )
         return jnp.sum(prep.tiles_touched)
 
@@ -260,7 +262,7 @@ def _run():
             )
     cfg = RasterizerConfig(
         backend=backend, capacity_exact=capacity, chunk=chunk,
-        tile_w=tile_w, tile_h=tile_h, tile_cull=tile_cull,
+        tile_w=tile_w, tile_h=tile_h,
     )
 
     if mode == "train":

@@ -73,12 +73,12 @@ def auto_capacity(params, alive, views, raster_cfg, sh_degree, bits=17):
     from gaussian_splatting_tpu.ops.rasterize import entry_bucket_capacity
     from gaussian_splatting_tpu.scene.gaussians import activate
 
-    @partial(jax.jit, static_argnames=("w", "h", "tw", "th", "tc", "sh"))
-    def count(params, alive, cam, w, h, tw, th, tc, sh):
+    @partial(jax.jit, static_argnames=("w", "h", "tw", "th", "sh"))
+    def count(params, alive, cam, w, h, tw, th, sh):
         acts = activate(params)
         prep = preprocess(
             acts.xyz, acts.scales, acts.quats, acts.opacities, acts.shs,
-            sh, cam, w, h, tw, th, alive=alive, tile_cull=tc,
+            sh, cam, w, h, tw, th, alive=alive,
         )
         return jnp.sum(prep.tiles_touched)
 
@@ -87,7 +87,7 @@ def auto_capacity(params, alive, views, raster_cfg, sh_degree, bits=17):
         cam = jax.tree.map(jnp.asarray, view.arrays())
         worst = max(worst, int(count(
             params, alive, cam, view.width, view.height,
-            raster_cfg.tile_w, raster_cfg.tile_h, raster_cfg.tile_cull,
+            raster_cfg.tile_w, raster_cfg.tile_h,
             sh_degree,
         )))
     return entry_bucket_capacity(worst, bits)
@@ -117,7 +117,8 @@ def render_set(model_path, name, iteration, views, params, alive, bg, sh_degree,
     print()
 
 
-def render_sets(dataset, iteration, pipe, skip_train=False, skip_test=False):
+def render_sets(dataset, iteration, pipe, skip_train=False, skip_test=False,
+                explicit_tiles=False):
     import jax.numpy as jnp
 
     scene = Scene(
@@ -133,11 +134,20 @@ def render_sets(dataset, iteration, pipe, skip_train=False, skip_test=False):
     )
     params, alive = load_model_padded(scene)
     bg = jnp.asarray([1.0, 1.0, 1.0] if dataset.white_background else [0.0, 0.0, 0.0])
+    # Inference renders a CONVERGED model: the measured tile winner is
+    # 32x32, not training's 32x16 (rasterize.default_tile_geometry).
+    # cfg_args carries the TRAINING-time tile size, so it must not leak
+    # into inference; an explicit --tile_size on THIS command line wins.
+    if explicit_tiles:
+        tile_w, tile_h = pipe.tile_size, (pipe.tile_size_y or pipe.tile_size)
+    else:
+        from gaussian_splatting_tpu.ops.rasterize import default_tile_geometry
+
+        tile_w, tile_h = default_tile_geometry(converged=True)
     raster_cfg = RasterizerConfig(
-        tile_w=pipe.tile_size,
-        tile_h=(pipe.tile_size_y or pipe.tile_size),
+        tile_w=tile_w,
+        tile_h=tile_h,
         capacity_mult=pipe.capacity_mult, backend=resolve_backend(pipe.backend),
-        tile_cull=pipe.tile_cull,
     )
     views = (
         ([] if skip_train else scene.get_train_cameras())
@@ -185,12 +195,17 @@ def main(argv=None):
         args.tile_size_y = 16
     if getattr(args, "capacity_mult", None) is None:
         args.capacity_mult = 8
+    explicit_tiles = any(
+        a.split("=")[0] in ("--tile_size", "--tile_size_y")
+        for a in (sys.argv[1:] if argv is None else argv)
+    )
     render_sets(
         ModelParams.extract(args),
         args.iteration,
         PipelineParams.extract(args),
         skip_train=args.skip_train,
         skip_test=args.skip_test,
+        explicit_tiles=explicit_tiles,
     )
 
 

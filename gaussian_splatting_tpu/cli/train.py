@@ -78,7 +78,6 @@ def training(
         tile_h=(pipe.tile_size_y or pipe.tile_size),
         capacity_mult=pipe.capacity_mult,
         backend=resolve_backend(pipe.backend),
-        tile_cull=pipe.tile_cull,
     )
     trainer = Trainer(
         cameras=scene.get_train_cameras(),

@@ -85,12 +85,8 @@ class PipelineParams(ParamGroup):
     tile_size: int = 32
     tile_size_y: int = 16
     capacity_mult: int = 8
-    # Exact per-tile ellipse cull (lossless; see ops/projection.
-    # tile_cull_bitmaps): shrinks the sorted tile lists on anisotropic
     # scenes, but its expansion columns + bitmap loop cost more than the
     # entry reduction saves at the benchmark operating point (round-3
-    # A/B: 14.54 fps cull vs 14.95 nocull at 16x16). Off by default.
-    tile_cull: bool = False
 
 
 @dataclass

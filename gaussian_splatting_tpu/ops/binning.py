@@ -41,29 +41,6 @@ class TileLists(NamedTuple):
     total: jnp.ndarray  # () int32: true number of entries (may exceed K => overflow)
 
 
-def _select_tile_bit(bm: jnp.ndarray, local: jnp.ndarray):
-    """Map a gaussian-local surviving-tile index to its rect-local tile
-    position: the `local`-th set bit of the 32-bit cull bitmap
-    (projection.tile_cull_bitmaps). The -1 "full rect" sentinel bypasses
-    the search (bit == local), which also covers rects larger than the
-    bitmap. Branch-free: a 5-step popcount binary search, all int32 lane
-    ops.
-    """
-    i32 = jnp.int32
-    pc = jax.lax.population_count
-    full = bm == -1
-    w = bm
-    r = local
-    pos = jnp.zeros_like(local)
-    for step in (16, 8, 4, 2, 1):
-        low = pc(w & ((1 << step) - 1))
-        move = r >= low
-        r = r - jnp.where(move, low, 0)
-        w = jnp.where(move, jax.lax.shift_right_logical(w, step), w)
-        pos = pos + jnp.where(move, i32(step), 0)
-    return jnp.where(full, local, pos)
-
-
 def build_tile_lists(
     rect_min: jnp.ndarray,  # (P, 2) int32
     rect_max: jnp.ndarray,  # (P, 2) int32
@@ -72,7 +49,6 @@ def build_tile_lists(
     grid_x: int,
     grid_y: int,
     capacity: int,
-    cull_bm: jnp.ndarray | None = None,  # (P,) int32 cull bitmaps
 ) -> TileLists:
     P = depths.shape[0]
     num_tiles = grid_x * grid_y
@@ -89,8 +65,6 @@ def build_tile_lists(
 
     slot = jnp.arange(capacity, dtype=jnp.int32)
     local = slot - offsets[gauss_id]
-    if cull_bm is not None:
-        local = _select_tile_bit(cull_bm[gauss_id], local)
     rw = jnp.maximum(rect_max[gauss_id, 0] - rect_min[gauss_id, 0], 1)
     tile_x = rect_min[gauss_id, 0] + local % rw
     tile_y = rect_min[gauss_id, 1] + local // rw
@@ -307,7 +281,6 @@ def emit_sorted_records(
     grid_x: int,
     grid_y: int,
     capacity: int,
-    cull_bm: jnp.ndarray | None = None,  # (P,) int32 cull bitmaps
 ) -> SortedRecords:
     p = depths.shape[0]
     k = capacity
@@ -390,8 +363,6 @@ def emit_sorted_records(
         else [iota_p, offs]
     )
     src_cols += [geo, depth_bits]
-    if cull_bm is not None:
-        src_cols.append(cull_bm)
     if _fused_expand():
         e_cols = _expand_many(src_cols, offs, k)
     else:
@@ -410,11 +381,6 @@ def emit_sorted_records(
     slot = jnp.arange(k, dtype=i32)
     valid = slot < total_eff
     local = (slot - e_off_low) & off_mask
-    if cull_bm is not None:
-        # With exact tile culling, `local` indexes SURVIVING tiles; one
-        # more delta-cumsum column carries each entry's cull bitmap and a
-        # popcount binary search maps it to its rect-local tile position.
-        local = _select_tile_bit(e_cols.pop(0), local)
     e_rw = jnp.maximum(e_geo & ((1 << _GEO_BITS) - 1), 1)
     e_ry = (e_geo >> _GEO_BITS) & ((1 << _GEO_BITS) - 1)
     e_rx = (e_geo >> (2 * _GEO_BITS)) & ((1 << _GEO_BITS) - 1)

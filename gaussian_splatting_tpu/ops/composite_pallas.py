@@ -96,12 +96,25 @@ def _scan_prec(env: str) -> jax.lax.Precision:
     precision perturbs gradients ~1e-6 relative and nothing is replayed."""
     import os
 
-    name = os.environ.get(env, "hi")
+    name = os.environ.get(env, _PREC_DEFAULTS.get(env, "hi"))
     return {
         "hi": jax.lax.Precision.HIGHEST,
         "high": jax.lax.Precision.HIGH,
         "default": jax.lax.Precision.DEFAULT,
     }[name]
+
+
+# Per-flag defaults. The backward-only contractions (cg, s_mom, drgb and
+# the cgw prefix scan) tolerate HIGH (3 bf16 passes, ~21 mantissa bits,
+# ~5e-7 relative on gradients — tolerance-tested vs the XLA-AD oracle);
+# the transmittance scan and the forward's contrib matmul stay HIGHEST
+# (they decide the IMAGE and the replayed early-exit masks).
+_PREC_DEFAULTS = {
+    "GS_TPU_SCAN_PREC": "hi",
+    "GS_TPU_CGW_PREC": "hi",
+    "GS_TPU_MOM_PREC": "hi",
+    "GS_TPU_CG_PREC": "hi",
+}
 
 
 def _mm_scan(x: jnp.ndarray, strict: bool, prec=None) -> jnp.ndarray:
@@ -416,7 +429,8 @@ def _bwd_kernel(
             g2 = g_ref[0]  # (3, TPX) image cotangent for this tile
             cg = jax.lax.dot_general(
                 g2, geo["rgb3"], (((0,), (0,)), ((), ())),
-                preferred_element_type=_f32, precision=_HI,
+                preferred_element_type=_f32,
+                precision=_scan_prec("GS_TPU_CG_PREC"),
             )  # (TPX, CH) = sum_c g[c,p] * rgb[c,i]
             cgw = cg * wgt
             pfx_incl = (
@@ -444,7 +458,8 @@ def _bwd_kernel(
             # _render_core_bwd maps them back to the conic convention.
             s_mom = jax.lax.dot_general(
                 _pix6(pxl, pyl), dpower, (((0,), (0,)), ((), ())),
-                preferred_element_type=_f32, precision=_HI,
+                preferred_element_type=_f32,
+                precision=_scan_prec("GS_TPU_MOM_PREC"),
             )  # (6, CH)
             s0, s1x, s1y = s_mom[0:1], s_mom[1:2], s_mom[2:3]
             s2x, s2y, sxy = s_mom[3:4], s_mom[4:5], s_mom[5:6]
@@ -456,7 +471,8 @@ def _bwd_kernel(
             dmy = 2.0 * c2c * (myl * s0 - s1y) + c2b * (mxl * s0 - s1x)
             drgb = jax.lax.dot_general(
                 g2, wgt, (((1,), (0,)), ((), ())),
-                preferred_element_type=_f32, precision=_HI,
+                preferred_element_type=_f32,
+                precision=_scan_prec("GS_TPU_CG_PREC"),
             )  # (3, CH)
 
             rows = jnp.concatenate(
@@ -547,7 +563,6 @@ def _bwd_call(cfg, rec, img, g_img, g_ft, ft, v: Visits, origin_y):
 @partial(jax.custom_vjp, nondiff_argnums=(0,))
 def _render_core(
     cfg, means2d, conic, rgb, opacity, depths, rect_min, rect_max, tiles, oy,
-    cull,
 ):
     """Differentiable emit+sort+composite with a hand-written VJP.
 
@@ -558,20 +573,19 @@ def _render_core(
     """
     img, ft, _total, *_ = _render_core_fwd_impl(
         cfg, means2d, conic, rgb, opacity, depths, rect_min, rect_max, tiles,
-        oy, cull,
+        oy,
     )
     return img, ft
 
 
 def _render_core_fwd_impl(
     cfg, means2d, conic, rgb, opacity, depths, rect_min, rect_max, tiles, oy,
-    cull,
 ):
-    grid_x, grid_y, tile_w, tile_h, interp, capacity, _has_cull = cfg
+    grid_x, grid_y, tile_w, tile_h, interp, capacity = cfg
     num_tiles = grid_x * grid_y
     sr = binning.emit_sorted_records(
         means2d, conic, rgb, opacity, depths, rect_min, rect_max, tiles,
-        grid_x, grid_y, capacity, cull_bm=cull,
+        grid_x, grid_y, capacity,
     )
     v = binning.build_visits(sr.tile_start, sr.tile_stop, capacity, num_tiles)
     kcfg = (grid_x, grid_y, tile_w, tile_h, interp)
@@ -585,11 +599,10 @@ def _render_core_fwd_impl(
 
 def _render_core_fwd(
     cfg, means2d, conic, rgb, opacity, depths, rect_min, rect_max, tiles, oy,
-    cull,
 ):
     img, ft, _total, sr, v = _render_core_fwd_impl(
         cfg, means2d, conic, rgb, opacity, depths, rect_min, rect_max, tiles,
-        oy, cull,
+        oy,
     )
     p = means2d.shape[0]
     res = (sr.rec, sr.gauss_id, sr.counts, v, img, ft, oy, p)
@@ -599,7 +612,7 @@ def _render_core_fwd(
 def _render_core_bwd(cfg, res, cts):
     rec, gid, gcounts, v, img, ft, oy, p = res
     g_img, g_ft = cts
-    grid_x, grid_y, tile_w, tile_h, interp, capacity, has_cull = cfg
+    grid_x, grid_y, tile_w, tile_h, interp, capacity = cfg
     kcfg = (grid_x, grid_y, tile_w, tile_h, interp)
     drec = _bwd_call(kcfg, rec, img, g_img, g_ft, ft, v, oy)
 
@@ -616,6 +629,18 @@ def _render_core_bwd(cfg, res, cts):
     # the P sentinel id, sort last, and fall outside every run — this
     # also quarantines uninitialized gradient blocks of never-visited
     # padding space.
+    #
+    # Can the sort shrink below 1 key + 9 payloads? No, with exact math:
+    # the 9 routed values per entry are 6 independent moments of dpower
+    # over the pixel axis (S0 and the frame-independent first/second
+    # moments that dmx/dmy/dc2* are per-gaussian-constant combinations
+    # of) plus the 3 drgb rows, which contract the cotangent's full
+    # spatial pattern (g2 @ wgt) and are not moment-derivable. dop in
+    # particular is S0/op — the 0th moment — while {dmx, dmy} span only
+    # the 1st and {dc2*} the 2nd: S0 cannot be recovered from them (the
+    # 5 equations leave the 6-moment space underdetermined), so dropping
+    # the dop operand would lose the opacity gradient. Re-basing the
+    # rows to raw moments permutes, never shrinks, the set.
     sorted_ops = jax.lax.sort(
         (gid,) + tuple(drec[i] for i in range(9)),
         num_keys=1, is_stable=False,
@@ -664,11 +689,9 @@ def _render_core_bwd(cfg, res, cts):
     f0 = lambda shape: np.zeros(shape, jax.dtypes.float0)
     # Blend order is piecewise constant in depth: zero gradient, like the
     # reference (depth only orders the sort; backward.cu has no d/d-depth).
-    # has_cull: 0 = no cull, 1 = 32-bit bitmaps
-    dcull = None if has_cull == 0 else f0((p,))
     return (
         dmeans2d, dconic, drgb, dop, jnp.zeros((p,), rec.dtype),
-        f0((p, 2)), f0((p, 2)), f0((p,)), f0(oy.shape), dcull,
+        f0((p, 2)), f0((p, 2)), f0((p,)), f0(oy.shape),
     )
 
 
@@ -696,13 +719,11 @@ def render_tiles_pallas(
     # keep >= one trailing unused block so dummy visits have a safe target
     capacity = ((capacity + BLK - 1) // BLK) * BLK + BLK
 
-    cull = prep.cull_bm
-    has_cull = 0 if cull is None else 1
-    cfg = (grid_x, grid_y, tile_w, tile_h, _interpret(), capacity, has_cull)
+    cfg = (grid_x, grid_y, tile_w, tile_h, _interpret(), capacity)
     oy = jnp.asarray(origin_y, jnp.int32).reshape(1)
     img_tiles, ft_tiles = _render_core(
         cfg, prep.means2d, prep.conic, prep.rgb, prep.opacity, prep.depths,
-        prep.rect_min, prep.rect_max, prep.tiles_touched, oy, cull,
+        prep.rect_min, prep.rect_max, prep.tiles_touched, oy,
     )
     total = jnp.sum(prep.tiles_touched)
 

@@ -38,169 +38,6 @@ class PreprocessOut(NamedTuple):
     rect_max: jnp.ndarray  # (P, 2) int32 tile rect (x, y) exclusive
     tiles_touched: jnp.ndarray  # (P,) int32
     visible: jnp.ndarray  # (P,) bool
-    # Exact per-tile cull bitmap (None unless tile_cull=True): bit
-    # (dy * rect_w + dx) set iff rect tile (dx, dy) survives; -1 = keep all.
-    cull_bm: Optional[jnp.ndarray] = None  # (P,) int32
-
-
-_CULL_CAP_BITS = 32  # bitmap width: rects with more tiles keep all tiles
-
-
-def tile_cull_bitmaps(
-    mean2d: jnp.ndarray,  # (P, 2) pixel centers
-    conic: jnp.ndarray,  # (P, 3) [a, b, c] inverse 2D covariance
-    opacity: jnp.ndarray,  # (P,) activated
-    rect_min_x, rect_min_y, rect_w, rect_h,  # (P,) int32 tile rects
-    tile_w: int,
-    tile_h: int,
-):
-    """Conservative-exact per-tile ellipse cull bitmaps: never drops a
-    tile that could blend a pixel (lossless in the image); may keep a few
-    extra tiles whose min Q sits within ~30 ulp of the threshold.
-
-    The compositor blends a pixel only when alpha = op * exp(-Q) >= 1/255
-    (forward.cu:449), i.e. when the Mahalanobis form Q(d) = 0.5 (a dx^2 +
-    2 b dx dy + c dy^2) <= t := ln(255 op). A rect tile whose whole pixel
-    box has Q > t can therefore be dropped from the tile lists without
-    changing any blended pixel — the reference instead emits the full
-    AABB of the 3-sigma disc (auxiliary.h:48-58) and lets every pixel
-    re-test, which on elongated splats wastes ~25-50% of the sorted tile
-    entries. min_box Q is evaluated in closed form (convex quadratic:
-    interior iff the center is inside, else the min lies on one of the 4
-    edges, each a clamped 1-D minimization).
-
-    Returns (bm, counts): one (P,) int32 bitmap over the rect's row-major
-    tile enumeration and the surviving-tile counts. Rects with more than
-    32 tiles (or wider/taller than 8) keep all tiles (counts = rect area,
-    bitmap = -1 sentinel meaning "full rect"; the sentinel cannot collide
-    with a legitimate sub-32-tile bitmap — its bits past area-1 are zero,
-    and at area == 32 the all-ones bitmap maps identically to the
-    sentinel). Round-3/4 A/Bs measured a 64-bit two-word variant: the
-    extra delta-cumsum expansion column cost ~3 ms at K~3M and 33..64-tile
-    rects are rare, so the 64-bit arm was deleted (VERDICT r3 item 8).
-    """
-    f32 = jnp.float32
-    i32 = jnp.int32
-    P = opacity.shape[0]
-
-    a = conic[:, 0].astype(f32)
-    b = conic[:, 1].astype(f32)
-    c = conic[:, 2].astype(f32)
-    mx = mean2d[:, 0].astype(f32)
-    my = mean2d[:, 1].astype(f32)
-    # keep-iff minQ <= t, with a hair of slack so 1-ulp disagreements with
-    # the kernel's linear-space alpha test stay on the conservative side.
-    t = jnp.log(jnp.maximum(255.0 * opacity.astype(f32), 1.0)) * (1.0 + 1e-6) + 1e-6
-    a_s = jnp.maximum(a, 1e-12)
-    c_s = jnp.maximum(c, 1e-12)
-
-    cap = 8  # loop bound per axis; area cap is the 32-bit bitmap width
-    small = jnp.logical_and(
-        jnp.logical_and(rect_w <= cap, rect_h <= cap),
-        rect_w * rect_h <= _CULL_CAP_BITS,
-    )
-
-    def q(dx, dy):
-        adx2 = a * dx * dx
-        cdy2 = c * dy * dy
-        # f32 cancellation guard: the rounding error of the 3-term sum
-        # scales with the largest TERM, not with Q (|2b dx dy| <= adx2 +
-        # cdy2 for a PSD conic, AM-GM), so a relative slack on t alone
-        # cannot bound it for highly anisotropic splats far from the tile.
-        # Deflating Q by ~30 ulp of the term-magnitude bound keeps the
-        # keep-iff-minQ<=t test conservative under any cancellation.
-        return 0.5 * (adx2 + 2.0 * b * dx * dy + cdy2) - 4e-6 * (adx2 + cdy2)
-
-    b_over_c = b / c_s  # hoisted: the 8x8 loop below calls these 256 times
-    b_over_a = b / a_s
-
-    def edge_min_x(bx, by0, by1):
-        """min Q on the segment x = bx, y in [by0, by1]."""
-        y = jnp.clip(-b_over_c * bx, by0, by1)
-        return q(bx, y)
-
-    def edge_min_y(by, bx0, bx1):
-        x = jnp.clip(-b_over_a * by, bx0, bx1)
-        return q(x, by)
-
-    bm = jnp.zeros((P,), i32)
-    counts = jnp.zeros((P,), i32)
-    one = jnp.ones((P,), i32)
-    for dy in range(cap):
-        for dx in range(cap):
-            in_rect = jnp.logical_and(dx < rect_w, dy < rect_h)
-            # tile pixel-center box, relative to the splat center
-            bx0 = ((rect_min_x + dx) * tile_w).astype(f32) - mx
-            by0 = ((rect_min_y + dy) * tile_h).astype(f32) - my
-            bx1 = bx0 + (tile_w - 1)
-            by1 = by0 + (tile_h - 1)
-            inside = (bx0 <= 0.0) & (bx1 >= 0.0) & (by0 <= 0.0) & (by1 >= 0.0)
-            qmin = jnp.minimum(
-                jnp.minimum(edge_min_x(bx0, by0, by1), edge_min_x(bx1, by0, by1)),
-                jnp.minimum(edge_min_y(by0, bx0, bx1), edge_min_y(by1, bx0, bx1)),
-            )
-            keep = jnp.logical_and(
-                in_rect, jnp.logical_or(inside, qmin <= t)
-            )
-            shift = dy * rect_w + dx  # row-major rect-local bit index
-            bit = jnp.where(keep, one, 0) << jnp.clip(shift, 0, 31)
-            bm = bm | jnp.where(shift < 32, bit, 0)
-            counts = counts + keep.astype(i32)
-
-    full = rect_w * rect_h
-    bm = jnp.where(small, bm, -1)
-    counts = jnp.where(small, counts, full)
-    return bm, counts
-
-
-def clip_cull_bitmaps_rows(
-    bm: jnp.ndarray,  # (P,) int32 bitmap (rect-local, row-major)
-    rect_w: jnp.ndarray,  # (P,) int32 rect width in tiles (unchanged by clip)
-    drop_rows: jnp.ndarray,  # (P,) int32 rect rows clipped off the TOP
-    clipped_h: jnp.ndarray,  # (P,) int32 surviving rect rows
-):
-    """Re-derive a cull bitmap for a row-clipped rect by pure bit shifts.
-
-    The sharded tile-strip path clips every rect to its device's strip of
-    tile rows; because the bitmap enumerates rect tiles row-major with an
-    unchanged width, the clipped bitmap is just (bitmap >> drop_rows *
-    rect_w) masked to clipped_h * rect_w bits. This replaces the O(32 P)
-    post-gather recompute of the full tile_cull_bitmaps loop with ~10
-    int32 lane ops (VERDICT r2 weak #3): each device now pays the bitmap
-    loop only on its own P/n shard, pre-gather.
-
-    The -1 "full rect" sentinel passes through unchanged with counts =
-    rect_w * clipped_h (keep-all; the post-gather recompute used to
-    re-cull those rects, this keeps strictly more — conservative).
-    Returns (bm, counts) with the same conventions as tile_cull_bitmaps.
-    """
-    i32 = jnp.int32
-    u32 = jnp.uint32
-    pc = jax.lax.population_count
-    shr = jax.lax.shift_right_logical
-    shl = jax.lax.shift_left
-
-    full = bm == -1
-    u = bm.astype(u32)
-
-    s = (drop_rows * rect_w).astype(i32)  # bits to shift right, >= 0
-    # shift amounts clamped to [0, 31] (XLA shifts >= bitwidth are
-    # undefined); s >= 32 can only happen on sentinel rects (area <= 32
-    # otherwise), which bypass via `full`.
-    w = shr(u, jnp.clip(s, 0, 31).astype(u32))
-    w = jnp.where(s >= 32, u32(0), w)
-
-    # mask to the clipped area's bits
-    area = (rect_w * clipped_h).astype(i32)
-    m = jnp.where(
-        area >= 32,
-        u32(0xFFFFFFFF),
-        shl(u32(1), jnp.clip(area, 0, 31).astype(u32)) - u32(1),
-    )
-    w = (w & m).astype(i32)
-
-    counts = jnp.where(full, area, pc(w))
-    return jnp.where(full, i32(-1), w), counts
 
 
 def _transform_point(mat, p, w_row: bool):
@@ -229,7 +66,6 @@ def preprocess(
     alive: Optional[jnp.ndarray] = None,  # (P,) bool mask of real (non-padding) slots
     colors_precomp: Optional[jnp.ndarray] = None,  # (P, 3) overrides SH
     cov3d_precomp: Optional[jnp.ndarray] = None,  # (P, 6) overrides scale/quat
-    tile_cull: bool = False,  # exact per-tile ellipse cull (lossless)
 ) -> PreprocessOut:
     P = means3d.shape[0]
     f32 = jnp.float32
@@ -351,17 +187,6 @@ def preprocess(
     tiles = jnp.where(visible, tiles, 0)
     radii = jnp.where(visible, radius_f, 0.0).astype(jnp.int32)
 
-    # Exact per-tile cull AFTER radii/visible: the aux outputs (the
-    # reference's visibility_filter = radii > 0 and the densification
-    # stats) keep pre-cull semantics; only the emitted tile lists shrink.
-    cull_bm = None
-    if tile_cull:
-        cull_bm, tiles_kept = tile_cull_bitmaps(
-            mean2d, conic, opa, rmin_x, rmin_y,
-            rmax_x - rmin_x, rmax_y - rmin_y, tile_w, tile_h,
-        )
-        tiles = jnp.where(visible, tiles_kept, 0)
-
     # --- color (forward.cu:21-81) ---
     if colors_precomp is not None:
         rgb = colors_precomp.astype(f32)
@@ -379,5 +204,4 @@ def preprocess(
         rect_max=jnp.stack([rmax_x, rmax_y], axis=-1),
         tiles_touched=tiles,
         visible=visible,
-        cull_bm=cull_bm,
     )

@@ -52,11 +52,6 @@ class RasterizerConfig:
     chunk: int = 256
     backend: str = "auto"
     capacity_exact: Optional[int] = None  # overrides capacity_mult when set
-    # Exact per-tile ellipse cull (projection.tile_cull_bitmaps): drops
-    # tile entries no pixel of which can pass the alpha >= 1/255 blend
-    # test. Lossless (image bit-identical); shrinks the sorted tile lists
-    # ~25-50% on anisotropic scenes, which shrinks every downstream stage.
-    tile_cull: bool = False
 
     def capacity(self, num_points: int) -> int:
         cap = (
@@ -65,6 +60,21 @@ class RasterizerConfig:
             else self.capacity_mult * num_points
         )
         return max(256, ((cap + 255) // 256) * 256)
+
+
+def default_tile_geometry(converged: bool) -> tuple:
+    """Measured tile-geometry policy (the automatic form of the round-4
+    hand override): rendering a CONVERGED model — anisotropic, opacity-
+    saturated splats where whole-chunk early exit dominates — wins at
+    32x32 tiles (31.6 vs 25.2 fps on the trained-PLY scene,
+    MEASURE_r4_trained.log: fewer tiles => ~30% fewer duplicate entries
+    => smaller sort/gather/kernel grid); unconverged scenes (training
+    renders, random clouds) win at 32x16 (17.1 vs 14.8 fps on the cloud
+    proxy, MEASURE_r3b.log: early exit rarely bites, so entry count
+    matters less than pixels-per-visit). Callers that LOAD a trained
+    model pass converged=True; the training loop uses the default config.
+    """
+    return (32, 32) if converged else (32, 16)
 
 
 def entry_bucket_capacity(n_entries: int, bits: int = 17, headroom: float = 1.2) -> int:
@@ -98,7 +108,6 @@ def _xla_path(prep, config, grid_x, grid_y, width, height, bg):
         grid_x,
         grid_y,
         config.capacity(prep.depths.shape[0]),
-        cull_bm=prep.cull_bm,
     )
     out = composite.composite_tiles(
         prep,
@@ -169,7 +178,6 @@ def rasterize(
         alive=alive,
         colors_precomp=colors_precomp,
         cov3d_precomp=cov3d_precomp,
-        tile_cull=config.tile_cull,
     )
 
     grid_x = (width + config.tile_w - 1) // config.tile_w

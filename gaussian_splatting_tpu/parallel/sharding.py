@@ -152,26 +152,19 @@ def make_sharded_train_step(
                 acts.xyz, acts.scales, acts.quats, acts.opacities, acts.shs,
                 active_sh_degree, cam, width, height, tw, th,
                 mean2d_bias=bias_shard, alive=alive_shard,
-                tile_cull=raster_cfg.tile_cull,
             )
-            # Compact records, replicated to every device over ICI. The
-            # cull bitmaps ride along so each device pays the O(32 P)
-            # bitmap loop only on its own P/n shard (pre-gather); the
-            # strip clip below is pure bit shifts on the gathered maps.
+            # Compact records, replicated to every device over ICI.
             rec = [
                 prep_local.means2d, prep_local.depths, prep_local.conic,
                 prep_local.rgb, prep_local.opacity,
                 prep_local.rect_min, prep_local.rect_max, prep_local.visible,
                 prep_local.radii,
             ]
-            if raster_cfg.tile_cull:
-                rec.append(prep_local.cull_bm)
             rec = jax.tree.map(
                 lambda x: jax.lax.all_gather(x, axis, axis=0, tiled=True), rec
             )
             (means2d, depths, conic, rgb, opacity, rect_min, rect_max,
-             visible, radii_full) = rec[:9]
-            g_cull_bm = rec[9] if raster_cfg.tile_cull else None
+             visible, radii_full) = rec
             P_full = means2d.shape[0]
 
             # Clip every Gaussian's tile rect to my strip of tile rows.
@@ -185,35 +178,12 @@ def make_sharded_train_step(
                 0,
             ).astype(jnp.int32)
 
-            cull_bm = None
-            if raster_cfg.tile_cull:
-                # Clip the gathered per-rect bitmaps to my strip with bit
-                # shifts: the bitmap is row-major over rect tiles with an
-                # unchanged width, so dropping the rows above the strip is
-                # a >> (drop_rows * rect_w), then a mask to the clipped
-                # area. ~10 lane ops vs re-running the 32-iteration
-                # bitmap loop over P_full on every device (VERDICT r2 #6).
-                from gaussian_splatting_tpu.ops.projection import (
-                    clip_cull_bitmaps_rows,
-                )
-
-                drop_rows = jnp.maximum(
-                    rmin_y + row_lo - rect_min[:, 1], 0
-                ).astype(jnp.int32)
-                cull_bm, tiles_kept = clip_cull_bitmaps_rows(
-                    g_cull_bm,
-                    rect_max[:, 0] - rect_min[:, 0],
-                    drop_rows, rmax_y - rmin_y,
-                )
-                tiles_l = jnp.where(visible, tiles_kept, 0).astype(jnp.int32)
-
             capacity = max(raster_cfg.capacity(P_full) // n, 256)
             prep_full = PreprocessOut(
                 means2d=means2d, depths=depths, conic=conic, rgb=rgb,
                 opacity=opacity, radii=radii_full,
                 rect_min=rect_min_l, rect_max=rect_max_l,
                 tiles_touched=tiles_l, visible=visible,
-                cull_bm=cull_bm,
             )
             if raster_cfg.backend == "pallas":
                 from gaussian_splatting_tpu.ops.composite_pallas import (
@@ -227,7 +197,7 @@ def make_sharded_train_step(
             else:
                 lists = binning.build_tile_lists(
                     rect_min_l, rect_max_l, depths, tiles_l, grid_x, rows_per,
-                    capacity, cull_bm=cull_bm,
+                    capacity,
                 )
                 out = composite.composite_tiles(
                     prep_full, lists, width, strip_h, tw, th, bg,

@@ -185,18 +185,18 @@ class Trainer:
 
         cfg = self.raster_cfg
 
-        @partial(jax.jit, static_argnames=("w", "h", "tw", "th", "tc", "sh"))
-        def count(params, alive, cam, w, h, tw, th, tc, sh):
+        @partial(jax.jit, static_argnames=("w", "h", "tw", "th", "sh"))
+        def count(params, alive, cam, w, h, tw, th, sh):
             acts = activate(params)
             prep = preprocess(
                 acts.xyz, acts.scales, acts.quats, acts.opacities, acts.shs,
-                sh, cam, w, h, tw, th, alive=alive, tile_cull=tc,
+                sh, cam, w, h, tw, th, alive=alive,
             )
             return jnp.sum(prep.tiles_touched)
 
         return int(count(
             self.state.params, self.state.alive, cam_arrays, width, height,
-            cfg.tile_w, cfg.tile_h, cfg.tile_cull, self.active_sh_degree,
+            cfg.tile_w, cfg.tile_h, self.active_sh_degree,
         ))
 
     # ---- the loop ----

@@ -232,46 +232,6 @@ def test_trainer_multidevice_with_densify():
     assert len(tr.state.params.xyz.sharding.device_set) == 8
 
 
-@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
-@pytest.mark.parametrize("backend", ["xla", "pallas"])
-def test_sharded_step_tile_cull_matches_no_cull(backend):
-    """Strip-local exact tile culling is lossless: the sharded step with
-    tile_cull=True must reproduce the no-cull sharded step's loss and
-    parameter updates (the culled entries never pass the per-pixel alpha
-    test)."""
-    rng = np.random.default_rng(3)
-    pts = rng.normal(0, 0.8, (40, 3)).astype(np.float32)
-    colors = rng.uniform(0.2, 0.8, (40, 3)).astype(np.float32)
-    params, alive = create_from_pcd(pts, colors, 3, capacity=128)
-
-    cam = make_camera(W, H)
-    gt = jnp.asarray(rng.uniform(size=(H, W, 3)), jnp.float32)
-    cam_arrays = jax.tree.map(jnp.asarray, cam.arrays())
-    mesh = sharding.make_mesh(8)
-    opt = OptimizationConfig()
-
-    results = {}
-    for cull in (False, True):
-        state = sharding.shard_train_state(init_train_state(params, alive), mesh)
-        cfg = RasterizerConfig(
-            backend=backend, capacity_mult=16, chunk=128, tile_cull=cull
-        )
-        step = sharding.make_sharded_train_step(mesh, 3, 2, W, H, cfg, opt, 1.0)
-        new, metrics = step(state, cam_arrays, gt, jnp.zeros(3),
-                            jnp.asarray(1, jnp.int32))
-        results[cull] = (jax.device_get(new), jax.device_get(metrics))
-
-    (new0, m0), (new1, m1) = results[False], results[True]
-    assert int(m1["num_entries"]) <= int(m0["num_entries"])
-    np.testing.assert_allclose(m1["loss"], m0["loss"], rtol=1e-6)
-    for name in ("xyz", "scaling", "opacity", "features_dc"):
-        np.testing.assert_allclose(
-            np.asarray(getattr(new1.params, name)),
-            np.asarray(getattr(new0.params, name)),
-            atol=2e-6, err_msg=name,
-        )
-
-
 def test_two_process_collectives():
     """Genuine 2-OS-process jax.distributed run (VERDICT r2 weak #4): two
     workers, one localhost coordinator, 2 CPU devices each (4 global);

@@ -56,14 +56,12 @@ TILE_H = int(os.environ.get("GS_BENCH_TILE_H", 16))
 GRID_X = (W + TILE_W - 1) // TILE_W
 GRID_Y = (H + TILE_H - 1) // TILE_H
 NUM_TILES = GRID_X * GRID_Y
-TILE_CULL = os.environ.get("GS_BENCH_TILE_CULL", "0") != "0"
 
 
 @jax.jit
 def _count():
     prep = preprocess(
         means, scales, quats, opacities, shs, 3, cam, W, H, TILE_W, TILE_H,
-        tile_cull=TILE_CULL,
     )
     return jnp.sum(prep.tiles_touched)
 
@@ -100,7 +98,6 @@ def chain_time(fn, label, n=N_ITERS, reps=3):
 def _prep(c):
     return preprocess(
         means + c * 0, scales, quats, opacities, shs, 3, cam, W, H, TILE_W, TILE_H,
-        tile_cull=TILE_CULL,
     )
 
 
@@ -108,7 +105,6 @@ def _emit(pr):
     return binning.emit_sorted_records(
         pr.means2d, pr.conic, pr.rgb, pr.opacity, pr.depths,
         pr.rect_min, pr.rect_max, pr.tiles_touched, GRID_X, GRID_Y, CAP,
-        cull_bm=pr.cull_bm,
     )
 
 
@@ -155,7 +151,7 @@ def stage_visits():
 
 def stage_render():
     cfg = RasterizerConfig(
-        backend="pallas", capacity_exact=CAP, tile_cull=TILE_CULL
+        backend="pallas", capacity_exact=CAP
     )
 
     def f(c):
@@ -171,7 +167,7 @@ def stage_render():
 def stage_sat():
     """Saturation diagnostics: how much kernel work is skippable."""
     cfg = RasterizerConfig(
-        backend="pallas", capacity_exact=CAP, tile_cull=TILE_CULL
+        backend="pallas", capacity_exact=CAP
     )
     img, aux = rasterize(
         means, scales, quats, opacities, shs, 3, cam, W, H, bg, cfg
@@ -499,7 +495,7 @@ def stage_grad():
     """Full forward+backward through rasterize (the train step's raster
     part, without losses/Adam). Honors GS_TPU_* routing/scan env flags."""
     cfg = RasterizerConfig(
-        backend="pallas", capacity_exact=CAP, tile_cull=TILE_CULL
+        backend="pallas", capacity_exact=CAP
     )
 
     def f(c):
@@ -557,7 +553,7 @@ def stage_train():
     )
 
     cfg = RasterizerConfig(
-        backend="pallas", capacity_exact=CAP, tile_cull=TILE_CULL
+        backend="pallas", capacity_exact=CAP
     )
     params = GaussianParams(
         xyz=means,
@@ -638,7 +634,7 @@ def stage_roofline():
         lambda c: (lambda sr: jnp.sum(sr.rec[0]) + jnp.sum(sr.gauss_id)
                    .astype(jnp.float32))(_emit(_prep(c))), "pre+emit+gather")
     cfg = RasterizerConfig(backend="pallas", capacity_exact=CAP,
-                           tile_cull=TILE_CULL)
+                           )
 
     def frender(c):
         img = rasterize(means, scales, quats, opacities, shs, 3, cam, W, H,
@@ -700,7 +696,7 @@ def stage_comm():
     numbers are LOWER bounds.
 
     Collectives per step (parallel/sharding.py::local_step):
-      fwd  all_gather   compact records  (P rows x ~61 B [+8 cull])
+      fwd  all_gather   compact records  (P rows x ~61 B)
       bwd  reduce_scatter record cotangents (P rows x 40 B f32)
       fwd  all_gather   image strips     (H*W*3 f32)
       bwd  psum_scatter image cotangent  (H*W*3 f32)
@@ -717,7 +713,7 @@ def stage_comm():
         except Exception:
             step_ms = 143.0
     step_ms = float(step_ms)
-    rec_b = 61 + (8 if TILE_CULL else 0)  # fwd record bytes/gaussian
+    rec_b = 61  # fwd record bytes/gaussian
     cot_b = 40  # differentiable f32 cotangent bytes/gaussian
     img_b = W * H * 3 * 4
     print(f"assumptions: ICI {ici / 1e9:.0f} GB/s/device, 1-chip step "

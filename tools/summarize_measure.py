@@ -61,7 +61,6 @@ def main():
     # Only the surviving axes (round 3 deleted the losing A/B arms; see
     # docs/PERFORMANCE.md for the measured outcomes baked into defaults).
     for axis, a, b in [
-        ("tile_cull", "render cull=1 16x16", "render cull=0 16x16"),
         ("GS_TPU_POWER", "render cull=1 16x16", "render horner power"),
         ("GS_TPU_EXPAND", "render cull=1 16x16", "render fused expand"),
     ]:
