@@ -131,7 +131,13 @@ def training(
             trainer.debug = True  # train.py:112-113 ((iteration-1)==debug_from)
         # Maintenance (densify + opacity reset) is deferred until after
         # report/save below — reference iteration order (train.py:146-169).
+        t_step = time.time()
         m = trainer.step(defer_maintenance=True)
+        # Host-wall per-step time. trainer.step device_gets the metrics, so
+        # the device work is synced — the analog of the reference's CUDA
+        # event pair around the iteration (train.py:67-68,93,131; logged as
+        # `iter_time` at train.py:211).
+        iter_time_ms = (time.time() - t_step) * 1e3
         it = trainer.iteration
         if profile_iteration >= 0 and it == profile_iteration + 5:
             import jax
@@ -150,6 +156,7 @@ def training(
         if tb_writer and it % 10 == 0:
             tb_writer.add_scalar("train_loss_patches/l1_loss", m["l1"], it)
             tb_writer.add_scalar("train_loss_patches/total_loss", m["loss"], it)
+            tb_writer.add_scalar("iter_time", iter_time_ms, it)  # train.py:211
             tb_writer.add_scalar("total_points", trainer.num_live, it)
 
         if it % 100 == 0 and time.time() - last_log > 5:

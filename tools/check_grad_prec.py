@@ -1,0 +1,73 @@
+"""On-chip gradient-accuracy check for the backward precision flags.
+
+Renders a mid-size scene twice through the Pallas VJP — once at the
+HIGHEST-precision defaults, once with the backward-only flags at
+high/3-pass — and reports the relative error of each input cotangent.
+Bound: the A/B is acceptable when every gradient agrees to ~1e-5
+relative (same class as the pallas-vs-XLA backend agreement tests)."""
+
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def grads(flags):
+    for k in ("GS_TPU_CGW_PREC", "GS_TPU_MOM_PREC", "GS_TPU_CG_PREC",
+              "GS_TPU_SCAN_PREC"):
+        os.environ.pop(k, None)
+    os.environ.update(flags)
+    # fresh modules so the flag reads happen at trace time
+    for m in list(sys.modules):
+        if "gaussian_splatting_tpu" in m:
+            del sys.modules[m]
+    import math
+
+    import jax
+    import jax.numpy as jnp
+
+    from gaussian_splatting_tpu.ops.rasterize import RasterizerConfig, rasterize
+    from gaussian_splatting_tpu.scene.cameras import Camera
+
+    rng = np.random.default_rng(7)
+    P, W, H = 20_000, 512, 512
+    means = jnp.asarray(rng.normal(0, 1.0, (P, 3)), jnp.float32)
+    scales = jnp.asarray(np.exp(rng.normal(-3.6, 0.4, (P, 3))), jnp.float32)
+    quats = jnp.asarray(rng.normal(0, 1, (P, 4)), jnp.float32)
+    ops = jnp.asarray(1 / (1 + np.exp(-rng.normal(0.5, 1, (P,)))), jnp.float32)
+    shs = jnp.asarray(rng.normal(0, 0.2, (P, 16, 3)), jnp.float32)
+    cam = Camera(uid=0, colmap_id=0, R=np.eye(3), T=np.array([0., 0., 4.]),
+                 fovx=math.radians(60), fovy=math.radians(60), image=None,
+                 image_name="g", width=W, height=H).arrays()
+    tgt = jnp.asarray(rng.uniform(size=(H, W, 3)), jnp.float32)
+    cfg = RasterizerConfig(backend="pallas", capacity_mult=16)
+
+    def loss(means, scales, quats, ops, shs):
+        img = rasterize(means, scales, quats, ops, shs, 3, cam, W, H,
+                        jnp.zeros(3, jnp.float32), cfg, return_aux=False)
+        return jnp.mean((img - tgt) ** 2)
+
+    g = jax.grad(loss, argnums=(0, 1, 2, 3, 4))(means, scales, quats, ops, shs)
+    return [np.asarray(x) for x in g]
+
+
+def main():
+    base = grads({})
+    fast = grads({"GS_TPU_CGW_PREC": "high", "GS_TPU_MOM_PREC": "high",
+                  "GS_TPU_CG_PREC": "high"})
+    names = ["dmeans", "dscales", "dquats", "dopacity", "dshs"]
+    worst = 0.0
+    for n, a, b in zip(names, base, fast):
+        scale = np.abs(a).max() + 1e-20
+        rel = np.abs(a - b).max() / scale
+        worst = max(worst, rel)
+        print(f"{n:10s} max|d|={scale:.3e}  rel_err={rel:.3e}")
+    print(f"worst rel_err {worst:.3e} -> {'OK' if worst < 1e-4 else 'TOO LOSSY'}")
+    if worst >= 1e-4:
+        raise SystemExit(1)
+
+
+if __name__ == "__main__":
+    main()
