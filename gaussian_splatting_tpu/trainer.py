@@ -389,7 +389,7 @@ class Trainer:
             return False
         # three DISTINCT zero buffers: the jitted step donates its state,
         # and aliased leaves would be donated twice
-        self.state = self.state._replace(
+        new_state = self.state._replace(
             params=params,
             adam=self.state.adam._replace(m=m, v=v),
             alive=alive,
@@ -397,6 +397,13 @@ class Trainer:
             xyz_grad_accum=jnp.zeros_like(self.state.xyz_grad_accum),
             denom=jnp.zeros_like(self.state.denom),
         )
+        # The densify jit is NOT a shard_map, so nothing CONSTRAINS its
+        # output shardings to the mesh (GSPMD usually propagates the
+        # input placement, but that is a heuristic, not a contract).
+        # Re-place the rebuilt rows explicitly; a no-op when the
+        # propagated placement already matches. The hardened
+        # dryrun_multichip asserts the post-densify sharding.
+        self.state = self._place(new_state)
         return True
 
     def _densify_host(self, size_threshold):
