@@ -160,7 +160,9 @@ def _run():
     # 25.2 fps — fewer, larger tiles win once early exit bites).
     from gaussian_splatting_tpu.ops.rasterize import default_tile_geometry
 
-    dtw, dth = default_tile_geometry(converged=(scene == "ply"))
+    dtw, dth = default_tile_geometry(
+        converged=(scene == "ply"), training=(mode == "train")
+    )
     tile_w = int(os.environ.get("GS_BENCH_TILE_W", dtw))
     tile_h = int(os.environ.get("GS_BENCH_TILE_H", dth))
 

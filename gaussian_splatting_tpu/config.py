@@ -79,11 +79,14 @@ class PipelineParams(ParamGroup):
     # Tile shape. The reference's 16x16 (config.h:15-17) is a CUDA
     # blocking choice; on TPU the frame cost is dominated by K-sized
     # stream stages (sort/gather/expand scale with the number of tile
-    # entries), so WIDER tiles win: 32x16 measured 17.1 fps vs 14.9 at
-    # 16x16 on the 1080p/262k bench (MEASURE_r3b.log). tile_size_y = 0
-    # means "same as tile_size".
+    # entries), so LARGER tiles win for TRAINING at every measured
+    # point (cloud 8.81 vs 7.60 it/s at 32x32 vs 32x16, MEASURE_r5.log;
+    # trained scene 12.2 vs 9.0) — the backward's gradient-routing sort
+    # and drec traffic scale with K. rasterize.default_tile_geometry
+    # holds the full measured policy; inference rendering picks its own
+    # geometry there. tile_size_y = 0 means "same as tile_size".
     tile_size: int = 32
-    tile_size_y: int = 16
+    tile_size_y: int = 32
     capacity_mult: int = 8
     # scenes, but its expansion columns + bitmap loop cost more than the
     # entry reduction saves at the benchmark operating point (round-3

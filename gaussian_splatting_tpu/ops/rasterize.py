@@ -62,19 +62,25 @@ class RasterizerConfig:
         return max(256, ((cap + 255) // 256) * 256)
 
 
-def default_tile_geometry(converged: bool) -> tuple:
+def default_tile_geometry(converged: bool, training: bool = False) -> tuple:
     """Measured tile-geometry policy (the automatic form of the round-4
-    hand override): rendering a CONVERGED model — anisotropic, opacity-
-    saturated splats where whole-chunk early exit dominates — wins at
-    32x32 tiles (31.6 vs 25.2 fps on the trained-PLY scene,
-    MEASURE_r4_trained.log: fewer tiles => ~30% fewer duplicate entries
-    => smaller sort/gather/kernel grid); unconverged scenes (training
-    renders, random clouds) win at 32x16 (17.1 vs 14.8 fps on the cloud
-    proxy, MEASURE_r3b.log: early exit rarely bites, so entry count
-    matters less than pixels-per-visit). Callers that LOAD a trained
-    model pass converged=True; the training loop uses the default config.
+    hand override):
+
+    - Rendering a CONVERGED model — anisotropic, opacity-saturated
+      splats where whole-chunk early exit dominates — wins at 32x32
+      tiles (30.2 vs 24.2 fps on the committed trained model,
+      MEASURE_r5_trained.log: fewer tiles => ~30% fewer duplicate
+      entries => smaller sort/gather/kernel grid).
+    - TRAINING wins at 32x32 on every measured scene class, converged
+      or not (cloud train 8.81 vs 7.60 it/s, MEASURE_r5.log; trained
+      12.2 vs 9.0): the backward's K-proportional stages (gradient
+      routing sort, drec traffic, record gather) outweigh the larger
+      per-visit pixel count even with weak early exit.
+    - Only the forward-only render of an UNCONVERGED scene (the cloud
+      stress proxy) prefers 32x16 (17.1 vs 14.8 fps, MEASURE_r3b.log):
+      early exit rarely bites, so pixels-per-visit dominates.
     """
-    return (32, 32) if converged else (32, 16)
+    return (32, 32) if (converged or training) else (32, 16)
 
 
 def entry_bucket_capacity(n_entries: int, bits: int = 17, headroom: float = 1.2) -> int:
