@@ -68,9 +68,19 @@ def _depthwise_conv_same(img, window_size: int, sigma: float):
     H, W, C = img.shape[-3], img.shape[-2], img.shape[-1]
     bw = jnp.asarray(_band_matrix(W, window_size, sigma))
     bh = jnp.asarray(_band_matrix(H, window_size, sigma))
-    hi = jax.lax.Precision.HIGHEST
-    x = jnp.einsum("...hwc,wv->...hvc", img, bw, precision=hi)
-    x = jnp.einsum("...hwc,hu->...uwc", x, bh, precision=hi)
+    # HIGH (bf16_3x) halves the MXU passes of the 10 forward einsums and
+    # their AD transposes vs HIGHEST; SSIM operands live in [0, 1] so the
+    # ~2^-21 relative error moves the loss ~1e-6 — far below the view-to-
+    # view loss noise training sees. GS_TPU_SSIM_PREC=hi restores the
+    # f32-exact form (CPU tests are unaffected either way: CPU einsums
+    # ignore precision and stay exact).
+    import os
+
+    prec = {
+        "high": jax.lax.Precision.HIGH, "hi": jax.lax.Precision.HIGHEST
+    }[os.environ.get("GS_TPU_SSIM_PREC", "high")]
+    x = jnp.einsum("...hwc,wv->...hvc", img, bw, precision=prec)
+    x = jnp.einsum("...hwc,hu->...uwc", x, bh, precision=prec)
     return x
 
 
