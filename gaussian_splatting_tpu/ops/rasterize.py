@@ -34,10 +34,10 @@ from gaussian_splatting_tpu.scene.cameras import CameraArrays
 class RasterizerConfig:
     """Static rasterizer configuration (hashable: safe as a jit static arg).
 
-    tile_w/tile_h: screen tile size. The defaults are the measured TPU
-      winners (32x16: +1.3 fps over 16x16 at the 1080p/262k flagship
-      point, MEASURE_r3c/d.log); the reference's 16x16 (config.h:15-17)
-      remains available and bit-identical in binning behavior.
+    tile_w/tile_h: screen tile size. 32x32 is the round-5 measured
+      winner at every operating point (default_tile_geometry has the
+      table); the reference's 16x16 (config.h:15-17) remains available
+      and bit-identical in binning behavior.
     capacity_mult: tile-list capacity as a multiple of P (the padded
       Gaussian count). The true entry count is returned in aux["num_entries"]
       so training can grow the bucket on overflow.
@@ -47,7 +47,7 @@ class RasterizerConfig:
     """
 
     tile_w: int = 32
-    tile_h: int = 16
+    tile_h: int = 32
     capacity_mult: int = 8
     chunk: int = 256
     backend: str = "auto"
@@ -62,25 +62,24 @@ class RasterizerConfig:
         return max(256, ((cap + 255) // 256) * 256)
 
 
-def default_tile_geometry(converged: bool, training: bool = False) -> tuple:
-    """Measured tile-geometry policy (the automatic form of the round-4
-    hand override):
+def default_tile_geometry(converged: bool = True, training: bool = False) -> tuple:
+    """Measured tile-geometry policy. As of round 5, 32x32 wins at EVERY
+    measured point (MEASURE_r5.log / MEASURE_r5_trained.log):
 
-    - Rendering a CONVERGED model — anisotropic, opacity-saturated
-      splats where whole-chunk early exit dominates — wins at 32x32
-      tiles (30.2 vs 24.2 fps on the committed trained model,
-      MEASURE_r5_trained.log: fewer tiles => ~30% fewer duplicate
-      entries => smaller sort/gather/kernel grid).
-    - TRAINING wins at 32x32 on every measured scene class, converged
-      or not (cloud train 8.81 vs 7.60 it/s, MEASURE_r5.log; trained
-      12.2 vs 9.0): the backward's K-proportional stages (gradient
-      routing sort, drec traffic, record gather) outweigh the larger
-      per-visit pixel count even with weak early exit.
-    - Only the forward-only render of an UNCONVERGED scene (the cloud
-      stress proxy) prefers 32x16 (17.1 vs 14.8 fps, MEASURE_r3b.log):
-      early exit rarely bites, so pixels-per-visit dominates.
+    - converged render: 30.2 vs 24.2 fps (trained model)
+    - training:         cloud 8.81 vs 7.60 it/s, trained 12.7 vs 9.0
+    - unconverged render: cloud 21.1 vs 19.1 fps, shell 26.7 ~= 26.8
+
+    The round-3 result that 32x16 beat 32x32 on unconverged renders
+    (17.1 vs 14.8, MEASURE_r3b.log) no longer reproduces: REC_ROWS
+    16->9 cut per-visit record DMA and the kernel slimmed since, so the
+    K-proportional stages (the 13.8 ns/row gather, sort, routing) now
+    dominate pixels-per-visit everywhere. The signature is kept so a
+    future scene class that re-splits the decision has a place to live;
+    both arguments are currently ignored.
     """
-    return (32, 32) if (converged or training) else (32, 16)
+    del converged, training
+    return (32, 32)
 
 
 def entry_bucket_capacity(n_entries: int, bits: int = 17, headroom: float = 1.2) -> int:

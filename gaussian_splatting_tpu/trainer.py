@@ -86,11 +86,7 @@ def _state_from_host(params, m, v, step, capacity: int, min_capacity: int) -> Tr
 class Trainer:
     cameras: List[Camera]
     opt: OptimizationConfig = field(default_factory=OptimizationConfig)
-    # 32x32 tiles: the measured training winner on every scene class
-    # (rasterize.default_tile_geometry; MEASURE_r5.log)
-    raster_cfg: RasterizerConfig = field(
-        default_factory=lambda: RasterizerConfig(tile_w=32, tile_h=32)
-    )
+    raster_cfg: RasterizerConfig = field(default_factory=RasterizerConfig)
     sh_degree: int = 3
     white_background: bool = False
     cameras_extent: float = 1.0
