@@ -155,9 +155,8 @@ def _run():
     mode = os.environ.get("GS_BENCH_MODE", "render")
     scene = os.environ.get("GS_BENCH_SCENE") or _default_scene()
     os.environ["GS_BENCH_SCENE"] = scene  # downstream metric names read it
-    # Measured tile winners (rasterize.default_tile_geometry): 32x16 on
-    # the synthetic proxies, 32x32 on trained anisotropic splats (31.6 vs
-    # 25.2 fps — fewer, larger tiles win once early exit bites).
+    # Measured tile winner: 32x32 at every round-5 operating point
+    # (rasterize.default_tile_geometry has the table).
     from gaussian_splatting_tpu.ops.rasterize import default_tile_geometry
 
     dtw, dth = default_tile_geometry(
@@ -246,11 +245,11 @@ def _run():
     # Snap to a coarse bucket grid: compiled-binary quality is chaotically
     # shape-sensitive at fine granularity (measured: K=2962176 renders 36%
     # slower than K=2960640), and coarse buckets are also what training's
-    # capacity growth uses. 2^17 measured fastest at the flagship point
-    # (19.0 vs 17.8 fps with 2^18 padding, MEASURE_r3e.log) — less padding
-    # means every K-sized stage (expand, sort, gather, kernel grid) runs
-    # closer to the true entry count.
-    bucket = 1 << int(os.environ.get("GS_BENCH_BUCKET_BITS", 17))
+    # capacity growth uses. 2^16 is the round-5 winner (2^15 is a plateau,
+    # 2^17/2^18 pad too much, MEASURE_r5.log / MEASURE_r3e.log) — less
+    # padding means every K-sized stage (expand, sort, gather, kernel
+    # grid) runs closer to the true entry count.
+    bucket = 1 << int(os.environ.get("GS_BENCH_BUCKET_BITS", 16))
     # No 8*P floor: at large tiles the true entry count can sit well below
     # 8P, and every K-sized stage (expand, sort, gather, kernel grid) runs
     # at the CAPACITY shape, so an inflated floor taxes the whole frame.

@@ -59,7 +59,7 @@ def load_model_padded(scene: Scene, min_capacity: int = 1024):
     return params, jnp.asarray(alive)
 
 
-def auto_capacity(params, alive, views, raster_cfg, sh_degree, bits=17):
+def auto_capacity(params, alive, views, raster_cfg, sh_degree, bits=16):
     """Entry-driven tile-list capacity: probe the true entry count of each
     view with a preprocess-only jit, bucket the max (ops/rasterize.py::
     entry_bucket_capacity) — so every K-sized stage runs near the true

@@ -82,13 +82,17 @@ def default_tile_geometry(converged: bool = True, training: bool = False) -> tup
     return (32, 32)
 
 
-def entry_bucket_capacity(n_entries: int, bits: int = 17, headroom: float = 1.2) -> int:
+def entry_bucket_capacity(n_entries: int, bits: int = 16, headroom: float = 1.2) -> int:
     """Bucketed tile-list capacity for a measured entry count: multiples of
-    2^bits at scene scale (compiled-binary quality is chaotically
-    shape-sensitive at fine granularity; 2^17 measured fastest at the 1080p
-    flagship point, MEASURE_r3e.log), power-of-two buckets below that so
-    tiny scenes don't pay a 131k-entry floor. The host-side analog of the
-    reference's dynamic arena resize (rasterize_points.cu:28-36)."""
+    2^bits at scene scale, power-of-two buckets below that so tiny scenes
+    don't pay a big floor. The host-side analog of the reference's dynamic
+    arena resize (rasterize_points.cu:28-36). 2^16 is the round-5 measured
+    winner (MEASURE_r5.log: trained render 30.74 fps vs 30.28 at 2^17,
+    trained train 13.71 vs 13.51, cloud train 9.89 vs 9.71; 2^15 is a
+    plateau, so the coarser bucket wins for fewer mid-training
+    recompiles). Compiled-binary quality is chaotically shape-sensitive
+    at FINE granularity (a 0.05% capacity change once moved the frame
+    36%), which is why this snaps to coarse buckets at all."""
     want = max(256, int(n_entries * headroom))
     bucket = 1 << bits
     if want >= bucket:

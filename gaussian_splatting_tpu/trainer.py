@@ -101,12 +101,11 @@ class Trainer:
     # cheap preprocess-only jit; thereafter the budget grows immediately
     # on overflow and is re-fit (grow or shrink) on the densify cadence
     # from the window max. Buckets are 2^entry_bucket_bits above that
-    # size and power-of-two below it (compiled-binary quality is
-    # chaotically shape-sensitive at fine granularity; 2^17 measured
-    # fastest at the 1080p flagship point, MEASURE_r3e.log). Set False to
+    # size and power-of-two below it (2^16 is the round-5 measured
+    # winner; see ops/rasterize.entry_bucket_capacity). Set False to
     # restore the fixed capacity_mult * P policy.
     auto_capacity: bool = True
-    entry_bucket_bits: int = 17
+    entry_bucket_bits: int = 16
     # Jitted in-place densification at fixed capacity (host fallback only
     # on capacity-bucket growth). Disable to force the numpy path.
     device_densify: bool = True
