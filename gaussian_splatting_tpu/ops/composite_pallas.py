@@ -104,16 +104,19 @@ def _scan_prec(env: str) -> str:
     return os.environ.get(env, _PREC_DEFAULTS.get(env, "hi"))
 
 
-# Per-flag defaults (measured, MEASURE_r5.log + check_grad_prec): the
-# backward-only contractions (cg, s_mom, drgb and the cgw prefix scan)
-# default to the 3-pass split; the transmittance scan and the forward's
-# contrib matmul stay HIGHEST (they decide the IMAGE and the replayed
-# early-exit masks).
+# Per-flag defaults (measured, MEASURE_r5.log + check_grad_prec):
+# every kernel matmul defaults to the bf16-split tier — the A/B ladder
+# measured each flip on both scenes and the image stays inside the
+# golden fixture's 2e-5 bound (small accumulated carry/scan error per
+# pixel; the per-entry early-exit masks replay exactly because fwd and
+# bwd share the flags).
 _PREC_DEFAULTS = {
-    "GS_TPU_SCAN_PREC": "hi",
+    "GS_TPU_SCAN_PREC": "high",
+    "GS_TPU_CARRY_PREC": "high",
     "GS_TPU_CGW_PREC": "high",
     "GS_TPU_MOM_PREC": "high",
     "GS_TPU_CG_PREC": "high",
+    "GS_TPU_CONTRIB_PREC": "high",
 }
 
 
@@ -340,12 +343,27 @@ def _blend_state(geo, t_carry):
     # = |t_carry| * prod over lanes with test >= T_EPS of om (skipped
     # lanes have om = 1, logom = 0, so no skip mask is needed); with zero
     # such lanes the sum is 0 and the carry magnitude is unchanged.
-    row = jax.lax.dot_general(
-        jnp.where(tcmp, logom, 0.0),
-        jnp.ones((CH, 1), _f32),
-        (((1,), (0,)), ((), ())),
-        preferred_element_type=_f32, precision=_HI,
-    )  # (TPX, 1)
+    # A (TPX, 1) MXU matvec costs like a full 128-lane matmul per pass
+    # (the output lane axis pads to one full tile), so at HIGHEST this
+    # carry rivals the prefix scan itself. The "high" tier splits only
+    # the logom operand (the ones vector is bf16-exact): 2 passes for
+    # ~2^-16 relative carry error — shared fwd/bwd, so replay stays
+    # exact. (A lane-reduction form was measured SLOWER than the matvec
+    # in round 3 — cross-lane shuffles lose to the MXU on this chip.)
+    x = jnp.where(tcmp, logom, 0.0)
+    ones = jnp.ones((CH, 1), _f32)
+    dims = (((1,), (0,)), ((), ()))
+    if _scan_prec("GS_TPU_CARRY_PREC") == "high":
+        xh = x.astype(jnp.bfloat16)
+        xl = (x - xh.astype(_f32)).astype(jnp.bfloat16)
+        ob = ones.astype(jnp.bfloat16)
+        row = jax.lax.dot_general(
+            xh, ob, dims, preferred_element_type=_f32
+        ) + jax.lax.dot_general(xl, ob, dims, preferred_element_type=_f32)
+    else:
+        row = jax.lax.dot_general(
+            x, ones, dims, preferred_element_type=_f32, precision=_HI,
+        )  # (TPX, 1)
     base = jnp.abs(t_carry) * jnp.exp(row)
     new_t = jnp.where(test[:, CH - 1:CH] < T_EPS, -base, base)
     return dict(
@@ -393,9 +411,9 @@ def _fwd_kernel(
                 grid_x, tile_w, tile_h, origin_y,
             )
             st = _blend_state(geo, t_s[...])
-            contrib = jax.lax.dot_general(
+            contrib = _dot_prec(
                 geo["rgb3"], st["wgt"], (((1,), (1,)), ((), ())),
-                preferred_element_type=_f32, precision=_HI,
+                _scan_prec("GS_TPU_CONTRIB_PREC"),
             )  # (3, TPX)
             img_ref[0] = img_ref[0] + contrib
             t_s[...] = st["new_t"]
