@@ -762,6 +762,7 @@ def stage_comm():
           f"no overlap")
     print(f"{'P':>10s} {'n':>4s} {'comm MB':>9s} {'comm ms':>9s} "
           f"{'comp ms':>9s} {'effic':>7s}")
+    effs = []
     for p_scale in (1, 4, 16):
         p = P * p_scale
         comp1 = step_ms * p_scale  # compute scales ~linearly in P (K ∝ P)
@@ -771,12 +772,16 @@ def stage_comm():
             comm_ms = wire / ici * 1e3
             comp_ms = comp1 / n
             eff = comp_ms / (comp_ms + comm_ms)
+            effs.append((eff, p, n))
             print(f"{p:10d} {n:4d} {wire / 1e6:9.1f} {comm_ms:9.2f} "
                   f"{comp_ms:9.2f} {eff * 100:6.1f}%")
+    worst_eff, wp, wn = min(effs)
     print("note: compute/comm per gaussian = "
           f"{step_ms * 1e6 / P:.0f} ns vs {(61 + 40) / (ici / 1e9):.1f} ns "
-          "— the workload is compute-dense per byte, so the 80% target "
-          "holds at every table point; the image term caps tiny-P scaling.")
+          "(compute-dense per byte). Worst table point "
+          f"{worst_eff * 100:.1f}% at P={wp}, n={wn} — the constant image "
+          "term caps tiny per-device loads, so the 80% target is about "
+          "sharding LARGE scenes; check the P >= 1M rows.")
 
 
 STAGES = {
