@@ -45,15 +45,15 @@ print("trained gaussians:", read_ply_vertex_table(sys.argv[1])["x"].shape[0])
 EOF
 
 echo "=== 1080p render fps on the trained model ==="
-# Sweep the measured-winner tile geometries, with and without the exact
-# tile cull — converged anisotropic splats are the scene class where the
-# cull could finally win (round-3 measured it losing on synthetic scenes).
-for row in "32 16 0" "32 32 0" "16 16 0" "32 16 1" "32 32 1"; do
+# Sweep the candidate tile geometries (32x32 is the round-5 universal
+# winner; the exact tile cull was deleted in round 5 after losing its
+# A/Bs on every scene class).
+for row in "32 16" "32 32" "16 16"; do
   set -- $row
-  echo "--- tiles ${1}x${2} cull=${3} ---"
+  echo "--- tiles ${1}x${2} ---"
   timeout 1800 env GS_BENCH_RETRIES=1 GS_BENCH_TIMEOUT=1500 \
     GS_BENCH_SCENE=ply GS_BENCH_PLY="$PLY" \
-    GS_BENCH_TILE_W="$1" GS_BENCH_TILE_H="$2" GS_BENCH_TILE_CULL="$3" \
+    GS_BENCH_TILE_W="$1" GS_BENCH_TILE_H="$2" \
     python bench.py 2>&1 | tail -1
 done
 
