@@ -24,8 +24,9 @@ Design (TPU-first, not a CUDA translation):
   a lane-axis *cumulative product* of (1 - alpha) in linear space (TPU
   early exit guarantees T >= 1e-4, so no log-space reconstruction is
   needed) — the whole-chip analog of the warp-sequential blend loop at
-  forward.cu:437-463. Channel contractions use the MXU at HIGHEST
-  precision.
+  forward.cu:437-463. Channel contractions ride the MXU at the measured
+  precision tiers (_PREC_DEFAULTS: hand-rolled 2-3-pass bf16 splits;
+  HIGHEST's 6-pass f32 emulation cost ~40% of both kernels).
 - Early termination (T < 1e-4, forward.cu:452-456) is reproduced exactly
   via masks; per-pixel final transmittance is the only image-space
   residual the backward needs — even lighter than the reference's
