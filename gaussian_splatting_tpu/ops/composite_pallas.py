@@ -730,12 +730,16 @@ def _render_core_bwd(cfg, res, cts):
     # both gathers contiguous 36-byte row reads. incl[-1] := 0 is
     # realized by clamping the index and masking.
     csum_rows = relayout_to_rows(csum)  # (K, 9), rows contiguous
-    top = csum_rows[jnp.maximum(ends - 1, 0)]
-    bot = csum_rows[jnp.maximum(starts - 1, 0)]
-    run = (
-        jnp.where((ends > 0)[:, None], top, 0.0)
-        - jnp.where((starts > 0)[:, None], bot, 0.0)
+    # ONE boundary gather, not two: emission runs are contiguous, so
+    # starts[g] = ends[g-1] and the lower boundary row is just the upper
+    # row of the previous gaussian — a row SHIFT (bit-identical to the
+    # second gather, including the starts==0 mask: ends[g-1] == 0 zeroes
+    # the same rows).
+    top = jnp.where(
+        (ends > 0)[:, None], csum_rows[jnp.maximum(ends - 1, 0)], 0.0
     )
+    bot = jnp.concatenate([jnp.zeros_like(top[:1]), top[:-1]], axis=0)
+    run = top - bot
     dcols = run + gcounts.astype(jnp.float32)[:, None] * m[:, 0][None, :]
     dmeans2d = dcols[:, 0:2]
     # records carry pre-folded c2 = (-0.5*ca, -cb, -0.5*cc); map the

@@ -535,11 +535,11 @@ def stage_routing():
         starts = ends - gcounts
         csum = binning._cumsum_rows(dsorted)
         rows = cp.relayout_to_rows(csum)
-        run = (
-            jnp.where((ends > 0)[:, None], rows[jnp.maximum(ends - 1, 0)], 0.0)
-            - jnp.where((starts > 0)[:, None], rows[jnp.maximum(starts - 1, 0)], 0.0)
+        top = jnp.where(
+            (ends > 0)[:, None], rows[jnp.maximum(ends - 1, 0)], 0.0
         )
-        return jnp.sum(run)
+        bot = jnp.concatenate([jnp.zeros_like(top[:1]), top[:-1]], axis=0)
+        return jnp.sum(top - bot)
 
     chain_time(f, "bwd routing chain")
 
@@ -576,11 +576,11 @@ def stage_routing():
         starts = ends - gcounts
         csum = binning._cumsum_rows(dsorted)
         rows = cp.relayout_to_rows(csum)
-        run = (
-            jnp.where((ends > 0)[:, None], rows[jnp.maximum(ends - 1, 0)], 0.0)
-            - jnp.where((starts > 0)[:, None], rows[jnp.maximum(starts - 1, 0)], 0.0)
+        top = jnp.where(
+            (ends > 0)[:, None], rows[jnp.maximum(ends - 1, 0)], 0.0
         )
-        return jnp.sum(run)
+        bot = jnp.concatenate([jnp.zeros_like(top[:1]), top[:-1]], axis=0)
+        return jnp.sum(top - bot)
 
     chain_time(fpack, "bwd routing chain, bf16-packed (lossy A/B)")
 
